@@ -1,0 +1,175 @@
+"""Differentiable implicit (optimization-based) dynamics.
+
+TPU-native equivalent of the reference's ``ImplicitDynamics`` adapter
+(/root/reference/src/dynamics.jl): a discrete step
+
+    x = [q1; q2]  --IP solve-->  y = [q2; q3]
+
+where ``q3`` solves the model's contact/limit/friction residual. Two solver
+configurations implement the paper's smoothed-gradient design
+(/root/reference/src/dynamics.jl:51-65):
+
+  * ``eval``  — tight relaxation (``kappa_eval_tol``), used for rollouts;
+  * ``grad``  — loose relaxation (``kappa_grad_tol``), whose IFT
+    sensitivities are smooth subgradients fed to the trajectory optimizer.
+
+Everything is functional: ``step`` / ``step_jac`` are jit-safe, vmappable
+over scenario batches, and usable inside ``lax.scan`` rollouts. ``step`` is
+also exposed with a ``jax.custom_vjp`` so arbitrary JAX autodiff (e.g.
+policy-gradient losses) differentiates through the solver via the IFT at
+the *relaxed* solution — one extra linear solve per cotangent instead of
+unrolling the Newton iterations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_dynamics_tpu.ops.cones import ConeSpec
+from optimization_dynamics_tpu.solver.interior_point import (
+    IPOptions,
+    IPSolution,
+    make_sensitivity,
+    make_solver,
+)
+
+__all__ = [
+    "ImplicitModel", "ImplicitDynamics", "make_implicit_dynamics",
+    "state_to_configuration",
+]
+
+
+class ImplicitModel(NamedTuple):
+    """A model's optimization-based dynamics, fully specified.
+
+    ``residual(z, theta, kappa)`` is pure JAX; ``theta_fn(q0, q1, u, aux)``
+    packs the problem data (aux carries the timestep and any scenario
+    parameters such as friction coefficients — a pytree, so whole parameter
+    sweeps can be vmapped); ``q_sel`` selects the next configuration from
+    ``z``; ``th_q0/th_q1/th_u`` are the theta columns of the respective
+    inputs (for IFT chain rules).
+    """
+
+    nq: int
+    nu: int
+    nz: int
+    ntheta: int
+    residual: Callable
+    spec: ConeSpec
+    init_z: Callable
+    theta_fn: Callable
+    q_sel: Tuple[int, ...]
+    th_q0: Tuple[int, ...]
+    th_q1: Tuple[int, ...]
+    th_u: Tuple[int, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class ImplicitDynamics:
+    """Bundle of eval/grad steppers for one model.
+
+    ``step(x, u, aux) -> y``; ``step_info`` additionally returns the
+    ``IPSolution``; ``step_jac(x, u, aux) -> (y, fx, fu)`` computes the
+    smoothed Jacobians with a single kappa_grad solve (the reference solves
+    twice — once in ``fx`` and once in ``fu``,
+    /root/reference/src/dynamics.jl:96-128; here one solve feeds both).
+    """
+
+    model: ImplicitModel
+    step: Callable
+    step_info: Callable
+    step_jac: Callable
+    step_diff: Callable  # custom_vjp-wrapped step for generic autodiff
+
+
+def make_implicit_dynamics(
+    model: ImplicitModel,
+    r_tol: float = 1.0e-8,
+    kappa_eval_tol: float = 1.0e-4,
+    kappa_grad_tol: float = 1.0e-3,
+    eval_opts: IPOptions | None = None,
+    grad_opts: IPOptions | None = None,
+) -> ImplicitDynamics:
+    nq = model.nq
+    if eval_opts is None:
+        eval_opts = IPOptions(r_tol=r_tol, kappa_tol=kappa_eval_tol)
+    if grad_opts is None:
+        grad_opts = IPOptions(r_tol=r_tol, kappa_tol=kappa_grad_tol)
+
+    eval_solve = make_solver(model.residual, model.spec, eval_opts)
+    grad_solve = make_solver(model.residual, model.spec, grad_opts)
+    sens = make_sensitivity(model.residual, model.spec)
+
+    q_sel = np.asarray(model.q_sel)
+    th_q0 = np.asarray(model.th_q0)
+    th_q1 = np.asarray(model.th_q1)
+    th_u = np.asarray(model.th_u)
+
+    def _solve(solver, x, u, aux):
+        q0 = x[:nq]
+        q1 = x[nq:2 * nq]
+        theta = model.theta_fn(q0, q1, u, aux)
+        z0 = model.init_z(q1)
+        sol = solver(z0, theta)
+        return sol, theta, q1
+
+    def step_info(x, u, aux) -> Tuple[jnp.ndarray, IPSolution]:
+        sol, _, q1 = _solve(eval_solve, x, u, aux)
+        q2 = sol.z[q_sel]
+        return jnp.concatenate([q1, q2]), sol
+
+    def step(x, u, aux) -> jnp.ndarray:
+        return step_info(x, u, aux)[0]
+
+    def step_jac(x, u, aux):
+        """One relaxed solve -> (y, dy/dx, dy/du)."""
+        sol, theta, q1 = _solve(grad_solve, x, u, aux)
+        q2 = sol.z[q_sel]
+        y = jnp.concatenate([q1, q2])
+        dz = sens(sol.z, theta)          # (nz, ntheta)
+        dq = dz[q_sel, :]                # (nq, ntheta)
+        dq_dq0 = dq[:, th_q0]
+        dq_dq1 = dq[:, th_q1]
+        dq_du = dq[:, th_u]
+        eye = jnp.eye(nq, dtype=x.dtype)
+        zero = jnp.zeros((nq, nq), dtype=x.dtype)
+        fx = jnp.block([[zero, eye], [dq_dq0, dq_dq1]])
+        fu = jnp.concatenate(
+            [jnp.zeros((nq, dq_du.shape[1]), dtype=x.dtype), dq_du], axis=0)
+        return y, fx, fu
+
+    @jax.custom_vjp
+    def step_diff(x, u, aux):
+        return step(x, u, aux)
+
+    def _fwd(x, u, aux):
+        y = step(x, u, aux)
+        return y, (x, u, aux)
+
+    def _bwd(res, g):
+        x, u, aux = res
+        _, fx, fu = step_jac(x, u, aux)
+        return fx.T @ g, fu.T @ g, jax.tree_util.tree_map(
+            lambda a: jnp.zeros_like(a), aux)
+
+    step_diff.defvjp(_fwd, _bwd)
+
+    return ImplicitDynamics(
+        model=model,
+        step=step,
+        step_info=step_info,
+        step_jac=step_jac,
+        step_diff=step_diff,
+    )
+
+
+def state_to_configuration(xs: jnp.ndarray) -> jnp.ndarray:
+    """Unstack an ``(T, 2 nq)`` state trajectory into ``(T+1, nq)`` configs
+    (reference: /root/reference/src/dynamics.jl:131-145)."""
+    nq = xs.shape[-1] // 2
+    return jnp.concatenate([xs[:1, :nq], xs[:, nq:]], axis=0)
