@@ -1,0 +1,435 @@
+"""Constrained iterative LQR (augmented Lagrangian) — TPU-native.
+
+Re-design of the reference's outer engine ``IterativeLQR.jl`` (behavior
+pinned by call sites, SURVEY.md §2.4; options at
+/root/reference/examples/cartpole.jl:85-94):
+
+  * inner loop: derivative sweep (vmapped over the horizon — every
+    timestep's implicit-dynamics solve and cost/constraint expansion runs
+    in parallel on-chip), regularized Riccati backward pass (reverse
+    ``lax.scan``), Armijo-line-searched nonlinear forward rollout
+    (``lax.scan`` inside a ``while_loop`` over step sizes);
+  * outer loop: augmented-Lagrangian dual updates and penalty scaling
+    until the constraint tolerance is met.
+
+Everything is a single traced XLA program: ``solve`` jits once and vmaps
+over scenario batches (initial states, goals, model parameters via
+problem closures).
+
+Structural conventions (fixed shapes, mask-based ragged support):
+
+  * horizon ``T`` states ``(T, nx)``, controls ``(T-1, nu)``;
+  * stage functions take ``(t, x, u)`` with ``t`` a traced index — stage
+    heterogeneity (e.g. the hopper's state-augmented first step,
+    /root/reference/examples/hopper.jl:52-162) is expressed with
+    ``lax.cond``/``switch`` on ``t`` and dimension padding;
+  * ``u_mask[t]`` marks active control dims per stage (padded dims get
+    unit diagonal in Quu and zero gains);
+  * inequality constraint rows are marked by ``ineq_mask``; equality rows
+    elsewhere. AL uses the Powell-Hestenes-Rockafellar form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ILQROptions", "ILQRProblem", "ILQRResult", "solve", "rollout"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQROptions:
+    """Options; names follow ``iLQR.Options``
+    (/root/reference/examples/cartpole.jl:85-94)."""
+
+    alpha_min: float = 1.0e-5
+    obj_tol: float = 1.0e-5
+    grad_tol: float = 1.0e-3
+    max_iter: int = 100
+    max_al_iter: int = 20
+    con_tol: float = 0.005
+    rho_init: float = 1.0
+    rho_scale: float = 10.0
+    armijo_c1: float = 1.0e-4
+    reg_init: float = 1.0e-6
+    reg_min: float = 1.0e-8
+    reg_max: float = 1.0e8
+    reg_up: float = 10.0
+    reg_down: float = 0.5
+    lambda_max: float = 1.0e8
+
+
+class ILQRProblem(NamedTuple):
+    """Problem definition. All callables are pure JAX.
+
+    ``dynamics(t, x, u) -> y`` and ``dynamics_jac(t, x, u) -> (y, fx, fu)``
+    (the latter lets implicit dynamics share one relaxed solve between fx
+    and fu). ``stage_con`` returns a fixed-size ``(ncon,)`` vector for all
+    stages (pad with zeros); ``terminal_con`` a ``(nconT,)`` vector.
+    """
+
+    T: int
+    nx: int
+    nu: int
+    ncon: int
+    nconT: int
+    dynamics: Callable
+    dynamics_jac: Callable
+    stage_cost: Callable          # (t, x, u) -> scalar
+    terminal_cost: Callable       # (x,) -> scalar
+    stage_con: Optional[Callable] = None     # (t, x, u) -> (ncon,)
+    terminal_con: Optional[Callable] = None  # (x,) -> (nconT,)
+    ineq_mask: Optional[jnp.ndarray] = None      # (T-1, ncon) bool
+    terminal_ineq_mask: Optional[jnp.ndarray] = None  # (nconT,) bool
+    u_mask: Optional[jnp.ndarray] = None         # (T-1, nu) bool
+
+
+class ILQRResult(NamedTuple):
+    xs: jnp.ndarray
+    us: jnp.ndarray
+    objective: jnp.ndarray        # smooth objective of the solution
+    al_objective: jnp.ndarray     # augmented-Lagrangian objective
+    iterations: jnp.ndarray       # total inner iLQR iterations
+    al_iterations: jnp.ndarray
+    constraint_violation: jnp.ndarray
+    gradient_norm: jnp.ndarray
+    converged: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# augmented Lagrangian pieces
+
+
+def _al_penalty(c, lam, rho, ineq):
+    """PHR augmented-Lagrangian penalty for mixed eq/ineq rows.
+
+    eq rows:   lam*c + rho/2 c^2
+    ineq rows (c <= 0): (max(0, lam + rho c)^2 - lam^2) / (2 rho)
+    """
+    eq_term = lam * c + 0.5 * rho * c * c
+    lam_new = jnp.maximum(0.0, lam + rho * c)
+    ineq_term = (lam_new * lam_new - lam * lam) / (2.0 * rho)
+    return jnp.sum(jnp.where(ineq, ineq_term, eq_term))
+
+
+def _al_multiplier(c, lam, rho, ineq):
+    """Effective multiplier (gradient of the penalty wrt c)."""
+    eq_mult = lam + rho * c
+    ineq_mult = jnp.maximum(0.0, lam + rho * c)
+    return jnp.where(ineq, ineq_mult, eq_mult)
+
+
+def _violation(c, lam, ineq):
+    """Per-row constraint violation: |c| for eq, max(c, 0) for ineq."""
+    del lam
+    return jnp.where(ineq, jnp.maximum(c, 0.0), jnp.abs(c))
+
+
+# ---------------------------------------------------------------------------
+
+
+def _make_al_costs(prob: ILQRProblem):
+    """Stage/terminal AL objectives and their Gauss-Newton expansions."""
+    has_con = prob.stage_con is not None
+    has_conT = prob.terminal_con is not None
+
+    def stage_al(t, x, u, lam, rho):
+        J = prob.stage_cost(t, x, u)
+        if has_con:
+            c = prob.stage_con(t, x, u)
+            J = J + _al_penalty(c, lam, rho, prob.ineq_mask[t])
+        return J
+
+    def terminal_al(x, lamT, rho):
+        J = prob.terminal_cost(x)
+        if has_conT:
+            c = prob.terminal_con(x)
+            J = J + _al_penalty(c, lamT, rho, prob.terminal_ineq_mask)
+        return J
+
+    def stage_expansion(t, x, u, lam, rho):
+        """Gradient and Gauss-Newton Hessian of the stage AL objective."""
+        nx, nu = prob.nx, prob.nu
+
+        def smooth(xu):
+            return prob.stage_cost(t, xu[:nx], xu[nx:])
+
+        xu = jnp.concatenate([x, u])
+        g = jax.grad(smooth)(xu)
+        H = jax.hessian(smooth)(xu)
+
+        if has_con:
+            def confun(xu):
+                return prob.stage_con(t, xu[:nx], xu[nx:])
+            c = confun(xu)
+            cJ = jax.jacfwd(confun)(xu)          # (ncon, nx+nu)
+            ineq = prob.ineq_mask[t]
+            mult = _al_multiplier(c, lam, rho, ineq)
+            active = jnp.where(ineq, (lam + rho * c) > 0.0, True)
+            g = g + cJ.T @ mult
+            H = H + rho * (cJ.T * active) @ cJ
+        return g[:nx], g[nx:], H[:nx, :nx], H[nx:, nx:], H[nx:, :nx]
+
+    def terminal_expansion(x, lamT, rho):
+        g = jax.grad(prob.terminal_cost)(x)
+        H = jax.hessian(prob.terminal_cost)(x)
+        if has_conT:
+            c = prob.terminal_con(x)
+            cJ = jax.jacfwd(prob.terminal_con)(x)
+            ineq = prob.terminal_ineq_mask
+            mult = _al_multiplier(c, lamT, rho, ineq)
+            active = jnp.where(ineq, (lamT + rho * c) > 0.0, True)
+            g = g + cJ.T @ mult
+            H = H + rho * (cJ.T * active) @ cJ
+        return g, H
+
+    return stage_al, terminal_al, stage_expansion, terminal_expansion
+
+
+def rollout(prob: ILQRProblem, x0: jnp.ndarray, us: jnp.ndarray):
+    """Open-loop rollout (reference: ``iLQR.rollout``,
+    /root/reference/examples/cartpole.jl:79)."""
+    ts = jnp.arange(prob.T - 1)
+
+    def f(x, tu):
+        t, u = tu
+        y = prob.dynamics(t, x, u)
+        return y, y
+
+    _, ys = jax.lax.scan(f, x0, (ts, us))
+    return jnp.concatenate([x0[None], ys], axis=0)
+
+
+def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
+          opts: ILQROptions = ILQROptions(),
+          xs_init: jnp.ndarray | None = None) -> ILQRResult:
+    """Run the AL-iLQR solve. Jit/vmap-safe."""
+    T, nx, nu = prob.T, prob.nx, prob.nu
+    ncon, nconT = prob.ncon, prob.nconT
+    dtype = x0.dtype
+    ts = jnp.arange(T - 1)
+
+    prob = prob._replace(
+        ineq_mask=(jnp.zeros((T - 1, max(ncon, 1)), bool)
+                   if prob.ineq_mask is None else prob.ineq_mask),
+        terminal_ineq_mask=(jnp.zeros(max(nconT, 1), bool)
+                            if prob.terminal_ineq_mask is None
+                            else prob.terminal_ineq_mask),
+        u_mask=(jnp.ones((T - 1, nu), bool)
+                if prob.u_mask is None else prob.u_mask),
+    )
+    stage_al, terminal_al, stage_exp, terminal_exp = _make_al_costs(prob)
+
+    def traj_cost(xs, us, lam, lamT, rho):
+        Js = jax.vmap(stage_al, in_axes=(0, 0, 0, 0, None))(
+            ts, xs[:-1], us, lam, rho)
+        return jnp.sum(Js) + terminal_al(xs[-1], lamT, rho)
+
+    def smooth_cost(xs, us):
+        Js = jax.vmap(prob.stage_cost)(ts, xs[:-1], us)
+        return jnp.sum(Js) + prob.terminal_cost(xs[-1])
+
+    def closed_loop_rollout(xs_ref, us_ref, Ks, ks, alpha, lam, lamT, rho):
+        def f(carry, inp):
+            x, J = carry
+            t, x_ref, u_ref, K, k = inp
+            u = u_ref + alpha * k + K @ (x - x_ref)
+            u = jnp.where(prob.u_mask[t], u, u_ref)
+            J = J + stage_al(t, x, u, lam[t], rho)
+            y = prob.dynamics(t, x, u)
+            return (y, J), (x, u)
+
+        (xT, J), (xs, us) = jax.lax.scan(
+            f, (xs_ref[0], jnp.asarray(0.0, dtype)),
+            (ts, xs_ref[:-1], us_ref, Ks, ks))
+        J = J + terminal_al(xT, lamT, rho)
+        xs = jnp.concatenate([xs, xT[None]], axis=0)
+        return xs, us, J
+
+    def backward(fxs, fus, lxs, lus, lxxs, luus, luxs, gT, HT, reg):
+        """Reverse Riccati scan; returns gains + expected decrease."""
+        def step(carry, inp):
+            Vx, Vxx = carry
+            t, fx, fu, lx, lu, lxx, luu, lux = inp
+            Qx = lx + fx.T @ Vx
+            Qu = lu + fu.T @ Vx
+            Qxx = lxx + fx.T @ Vxx @ fx
+            Quu = luu + fu.T @ Vxx @ fu
+            Qux = lux + fu.T @ Vxx @ fx
+
+            m = prob.u_mask[t]
+            Qu = jnp.where(m, Qu, 0.0)
+            Qux = jnp.where(m[:, None], Qux, 0.0)
+            mm = jnp.outer(m, m)
+            Quu = jnp.where(mm, Quu, 0.0) + jnp.diag(
+                jnp.where(m, reg, 1.0))
+
+            chol = jnp.linalg.cholesky(Quu)
+            ok = jnp.all(jnp.isfinite(chol))
+            rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
+            sol = jax.scipy.linalg.cho_solve((chol, True), rhs)
+            k = -sol[:, 0]
+            K = -sol[:, 1:]
+
+            Vx_new = Qx + K.T @ Qu + Qux.T @ k + K.T @ Quu @ k
+            Vxx_new = Qxx + K.T @ Qux + Qux.T @ K + K.T @ Quu @ K
+            Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+            dV1 = jnp.dot(k, Qu)
+            dV2 = 0.5 * jnp.dot(k, Quu @ k)
+            qu_inf = jnp.max(jnp.abs(Qu))
+            return (Vx_new, Vxx_new), (K, k, dV1, dV2, qu_inf, ok)
+
+        (_, _), (Ks, ks, dV1s, dV2s, qu_infs, oks) = jax.lax.scan(
+            step, (gT, HT),
+            (ts, fxs, fus, lxs, lus, lxxs, luus, luxs),
+            reverse=True)
+        return (Ks, ks, jnp.sum(dV1s), jnp.sum(dV2s),
+                jnp.max(qu_infs), jnp.all(oks))
+
+    def ilqr_inner(xs, us, lam, lamT, rho):
+        """Run the unconstrained (AL-objective) iLQR to tolerance.
+        ``max_iter`` bounds the iterations of *this* inner solve (one AL
+        round), matching the reference's per-round ``max_iter``."""
+
+        def derivatives(xs, us):
+            ys, fxs, fus = jax.vmap(prob.dynamics_jac)(ts, xs[:-1], us)
+            del ys
+            lxs, lus, lxxs, luus, luxs = jax.vmap(
+                stage_exp, in_axes=(0, 0, 0, 0, None))(
+                    ts, xs[:-1], us, lam, rho)
+            gT, HT = terminal_exp(xs[-1], lamT, rho)
+            return fxs, fus, lxs, lus, lxxs, luus, luxs, gT, HT
+
+        def cond(state):
+            xs, us, J, reg, it, done = state
+            return jnp.logical_and(it < opts.max_iter,
+                                   jnp.logical_not(done))
+
+        def body(state):
+            xs, us, J, reg, it, done = state
+            d = derivatives(xs, us)
+            Ks, ks, dV1, dV2, qu_inf, bp_ok = backward(*d, reg)
+
+            def ls_cond(ls):
+                alpha, accepted, best = ls
+                return jnp.logical_and(alpha >= opts.alpha_min,
+                                       jnp.logical_not(accepted))
+
+            def ls_body(ls):
+                alpha, accepted, best = ls
+                xs_c, us_c, J_c = closed_loop_rollout(
+                    xs, us, Ks, ks, alpha, lam, lamT, rho)
+                expected = alpha * dV1 + alpha * alpha * dV2
+                ok = jnp.logical_and(
+                    jnp.isfinite(J_c),
+                    J_c <= J + opts.armijo_c1 * jnp.minimum(expected, 0.0))
+                best = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old),
+                    (xs_c, us_c, J_c), best)
+                return (alpha * 0.5, jnp.logical_or(accepted, ok), best)
+
+            init_best = (xs, us, J)
+            alpha0 = jnp.asarray(1.0, dtype)
+            _, accepted, (xs_n, us_n, J_n) = jax.lax.while_loop(
+                ls_cond, ls_body,
+                (alpha0, jnp.asarray(False), init_best))
+
+            ls_failed = jnp.logical_not(jnp.logical_and(accepted, bp_ok))
+            reg_n = jnp.where(
+                ls_failed,
+                jnp.minimum(jnp.maximum(reg * opts.reg_up, opts.reg_min * opts.reg_up), opts.reg_max),
+                jnp.maximum(reg * opts.reg_down, opts.reg_min))
+            # failed step: keep current trajectory
+            xs_n = jnp.where(ls_failed, xs, xs_n)
+            us_n = jnp.where(ls_failed, us, us_n)
+            J_n = jnp.where(ls_failed, J, J_n)
+
+            grad_small = qu_inf < opts.grad_tol
+            obj_small = jnp.abs(J - J_n) < opts.obj_tol
+            reg_capped = reg_n >= opts.reg_max
+            done_n = jnp.logical_or(
+                grad_small,
+                jnp.logical_or(jnp.logical_and(accepted, obj_small),
+                               jnp.logical_and(ls_failed, reg_capped)))
+            return (xs_n, us_n, J_n, reg_n, it + 1, done_n)
+
+        J0 = traj_cost(xs, us, lam, lamT, rho)
+        state = (xs, us, J0, jnp.asarray(opts.reg_init, dtype),
+                 jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        xs, us, J, reg, it, _ = jax.lax.while_loop(cond, body, state)
+        return xs, us, J, it
+
+    # ----- augmented Lagrangian outer loop -----
+    has_con = prob.stage_con is not None
+    has_conT = prob.terminal_con is not None
+
+    def con_violation(xs, us, lam, lamT):
+        v = jnp.asarray(0.0, dtype)
+        if has_con:
+            cs = jax.vmap(prob.stage_con)(ts, xs[:-1], us)
+            v = jnp.maximum(v, jnp.max(_violation(cs, lam, prob.ineq_mask)))
+        if has_conT:
+            cT = prob.terminal_con(xs[-1])
+            v = jnp.maximum(
+                v, jnp.max(_violation(cT, lamT, prob.terminal_ineq_mask)))
+        return v
+
+    def dual_update(xs, us, lam, lamT, rho):
+        if has_con:
+            cs = jax.vmap(prob.stage_con)(ts, xs[:-1], us)
+            lam = jnp.clip(_al_multiplier(cs, lam, rho, prob.ineq_mask),
+                           -opts.lambda_max, opts.lambda_max)
+        if has_conT:
+            cT = prob.terminal_con(xs[-1])
+            lamT = jnp.clip(
+                _al_multiplier(cT, lamT, rho, prob.terminal_ineq_mask),
+                -opts.lambda_max, opts.lambda_max)
+        return lam, lamT
+
+    xs0 = rollout(prob, x0, us_init) if xs_init is None else xs_init
+    lam0 = jnp.zeros((T - 1, max(ncon, 1)), dtype)
+    lamT0 = jnp.zeros(max(nconT, 1), dtype)
+    rho0 = jnp.asarray(opts.rho_init, dtype)
+
+    def al_cond(state):
+        xs, us, lam, lamT, rho, it, al_it, vio = state
+        converged = vio < opts.con_tol
+        return jnp.logical_and(al_it < opts.max_al_iter,
+                               jnp.logical_not(converged))
+
+    def al_body(state):
+        xs, us, lam, lamT, rho, it, al_it, vio = state
+        xs, us, J, inner_it = ilqr_inner(xs, us, lam, lamT, rho)
+        it = it + inner_it
+        vio = con_violation(xs, us, lam, lamT)
+        lam, lamT = dual_update(xs, us, lam, lamT, rho)
+        rho = rho * opts.rho_scale
+        return (xs, us, lam, lamT, rho, it, al_it + 1, vio)
+
+    vio_init = jnp.asarray(jnp.inf, dtype)
+    state = (xs0, us_init, lam0, lamT0, rho0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32), vio_init)
+    if has_con or has_conT:
+        xs, us, lam, lamT, rho, it, al_it, vio = jax.lax.while_loop(
+            al_cond, al_body, state)
+    else:
+        xs, us, J, it = ilqr_inner(xs0, us_init, lam0, lamT0, rho0)
+        lam, lamT, rho = lam0, lamT0, rho0
+        al_it = jnp.asarray(1, jnp.int32)
+        vio = jnp.asarray(0.0, dtype)
+
+    al_obj = traj_cost(xs, us, lam, lamT, rho)
+    obj = smooth_cost(xs, us)
+    return ILQRResult(
+        xs=xs, us=us,
+        objective=obj,
+        al_objective=al_obj,
+        iterations=it,
+        al_iterations=al_it,
+        constraint_violation=vio,
+        gradient_norm=jnp.asarray(0.0, dtype),
+        converged=vio < opts.con_tol,
+    )
