@@ -1,0 +1,219 @@
+"""Hopper gait generation with co-optimized initial state.
+
+Parity with /root/reference/examples/hopper.jl: the initial configurations
+(q1, q2) are decision variables smuggled into the first control
+(u_1 = [u; q1; q2], state augmented to carry theta = (q1, q2) through the
+horizon for the terminal periodicity constraint — hopper.jl:52-162):
+
+  * t = 0: x in R^8, u in R^10, y = [q2; q3; theta] in R^16;
+  * t >= 1: x in R^16, u in R^2, theta copied through;
+  * terminal: gait periodicity x[1:4]/[5:8] vs theta + travel >= 0.5.
+
+All stages are padded to nx=16, nu=10 with control masks — the framework's
+mechanism for the reference's time-varying dimensions.
+
+Unlike the reference (hopper.jl:77-99, which omits the theta pass-through
+rows of the first-step control Jacobian), the exact identity blocks are
+included here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from optimization_dynamics_tpu.dynamics import make_implicit_dynamics
+from optimization_dynamics_tpu.models import hopper as hp
+from optimization_dynamics_tpu.solver.ilqr import (
+    ILQROptions,
+    ILQRProblem,
+    solve,
+)
+
+H = 0.05
+T = 21
+NQ = hp.NQ           # 4
+NXS = 2 * NQ         # small state (first stage input)
+NX = 4 * NQ          # padded state: [q1; q2; theta(8)]
+NUS = hp.NU          # 2
+NU = NUS + 2 * NQ    # padded control: [u; q1theta; q2theta]
+
+GAIT_COSTS = {1: (1.0e-1, 1.0e-1), 2: (1.0, 1.0), 3: (1.0e-3, 1.0e-1)}
+
+
+def build_problem(gait: int = 1, dtype=jnp.float64):
+    params = hp.HopperParams()
+    aux = hp.HopperAux(h=H)
+    dyn = make_implicit_dynamics(
+        hp.model(params), r_tol=1.0e-8, kappa_eval_tol=1.0e-4,
+        kappa_grad_tol=1.0e-3)
+
+    q1 = jnp.array([0.0, 0.5 + params.foot_radius, 0.0, 0.5], dtype)
+    q_ref = jnp.array([0.5, 0.75 + params.foot_radius, 0.0, 0.25], dtype)
+    x1_small = jnp.concatenate([q1, q1])
+    x_ref = jnp.concatenate([q_ref, q_ref])
+
+    r_cost, q_cost = GAIT_COSTS[gait]
+
+    def step8(xsmall, u2):
+        return dyn.step(xsmall, u2, aux)          # (8,)
+
+    def step8_jac(xsmall, u2):
+        return dyn.step_jac(xsmall, u2, aux)      # (8,), (8,8), (8,2)
+
+    def dynamics(t, x, u):
+        def first(_):
+            theta = u[2:10]
+            y8 = step8(theta, u[0:2])
+            return jnp.concatenate([y8, theta])
+
+        def rest(_):
+            y8 = step8(x[0:8], u[0:2])
+            return jnp.concatenate([y8, x[8:16]])
+
+        return jax.lax.cond(t == 0, first, rest, None)
+
+    def dynamics_jac(t, x, u):
+        def first(_):
+            theta = u[2:10]
+            y8, fx8, fu8 = step8_jac(theta, u[0:2])
+            y = jnp.concatenate([y8, theta])
+            fx = jnp.zeros((NX, NX))
+            fu = jnp.zeros((NX, NU))
+            fu = fu.at[0:8, 0:2].set(fu8)
+            fu = fu.at[0:8, 2:10].set(fx8)       # d y8 / d theta
+            fu = fu.at[8:16, 2:10].set(jnp.eye(8))  # theta pass-through
+            return y, fx, fu
+
+        def rest(_):
+            y8, fx8, fu8 = step8_jac(x[0:8], u[0:2])
+            y = jnp.concatenate([y8, x[8:16]])
+            fx = jnp.zeros((NX, NX))
+            fx = fx.at[0:8, 0:8].set(fx8)
+            fx = fx.at[8:16, 8:16].set(jnp.eye(8))
+            fu = jnp.zeros((NX, NU))
+            fu = fu.at[0:8, 0:2].set(fu8)
+            return y, fx, fu
+
+        return jax.lax.cond(t == 0, first, rest, None)
+
+    w8 = jnp.array([1.0, 10.0, 1.0, 10.0, 1.0, 10.0, 1.0, 10.0], dtype)
+
+    def stage_cost(t, x, u):
+        def first(_):
+            dx = x[0:8] - x_ref
+            uw = jnp.concatenate([
+                r_cost * jnp.ones(2, dtype),
+                1.0e-1 * jnp.ones(4, dtype),
+                1.0e-5 * jnp.ones(4, dtype)])
+            return 0.5 * dx @ (w8 * dx) + 0.5 * u @ (uw * u)
+
+        def rest(_):
+            dx = x[0:8] - x_ref
+            u2 = u[0:2]
+            return (0.5 * q_cost * dx @ (w8 * dx)
+                    + 0.5 * r_cost * u2 @ u2)
+
+        return jax.lax.cond(t == 0, first, rest, None)
+
+    def terminal_cost(x):
+        dx = x[0:8] - x_ref
+        return 0.5 * dx @ dx
+
+    # constraints: 12 padded stage rows
+    #   rows 0:4  control box (ineq, all stages)
+    #   rows 4:8  t=0: u-theta q1 pinned to x1 (eq)
+    #   rows 8:12 t=0: foot positions of theta match x1's (eq, 2+2)
+    NCON = 12
+    u_lim = jnp.asarray(10.0, dtype)
+
+    def stage_con(t, x, u):
+        u2 = u[0:2]
+        box = jnp.concatenate([-u_lim - u2, u2 - u_lim])
+
+        def first(_):
+            q1t = u[2:6]
+            q2t = u[6:10]
+            pin = q1t - x1_small[0:4]
+            foot1 = (kf(q1t) - kf(x1_small[0:4]))
+            foot2 = (kf(q2t) - kf(x1_small[4:8]))
+            return jnp.concatenate([box, pin, foot1, foot2])
+
+        def rest(_):
+            return jnp.concatenate([box, jnp.zeros(8, dtype)])
+
+        return jax.lax.cond(t == 0, first, rest, None)
+
+    def kf(q):
+        return hp.kinematics_foot(params, q)
+
+    x_travel = 0.5
+
+    def terminal_con(x):
+        theta = x[8:16]
+        return jnp.concatenate([
+            jnp.array([x_travel - (x[0] - theta[0]),
+                       x_travel - (x[4] - theta[4])]),
+            x[1:4] - theta[1:4],
+            x[5:8] - theta[5:8],
+        ])
+
+    ineq = jnp.zeros((T - 1, NCON), bool).at[:, 0:4].set(True)
+    ineqT = jnp.zeros(8, bool).at[0:2].set(True)
+    u_mask = jnp.zeros((T - 1, NU), bool).at[:, 0:2].set(True)
+    u_mask = u_mask.at[0].set(True)
+
+    prob = ILQRProblem(
+        T=T, nx=NX, nu=NU, ncon=NCON, nconT=8,
+        dynamics=dynamics,
+        dynamics_jac=dynamics_jac,
+        stage_cost=stage_cost,
+        terminal_cost=terminal_cost,
+        stage_con=stage_con,
+        terminal_con=terminal_con,
+        ineq_mask=ineq,
+        terminal_ineq_mask=ineqT,
+        u_mask=u_mask,
+    )
+
+    opts = ILQROptions(
+        alpha_min=1.0e-5,
+        obj_tol=1.0e-3,
+        grad_tol=1.0e-3,
+        max_iter=10,
+        max_al_iter=15,
+        con_tol=0.001,
+        rho_init=1.0,
+        rho_scale=10.0,
+    )
+
+    u_stand = params.gravity * params.mass_body * 0.5 * H
+    us0 = jnp.zeros((T - 1, NU), dtype).at[:, 1].set(u_stand)
+    us0 = us0.at[0, 2:10].set(x1_small)
+    x0 = jnp.concatenate([x1_small, jnp.zeros(8, dtype)])
+    return prob, x0, us0, opts
+
+
+def run(gait: int = 1):
+    prob, x0, us_init, opts = build_problem(gait)
+    res = jax.jit(lambda x, u: solve(prob, x, u, opts))(x0, us_init)
+    return prob, res
+
+
+def main():
+    import numpy as np
+    prob, res = run(1)
+    x = np.asarray(res.xs[-1])
+    theta = x[8:16]
+    print("converged:", bool(res.converged),
+          "obj:", round(float(res.objective), 4),
+          "iters:", int(res.iterations), "al:", int(res.al_iterations),
+          "vio: %.2e" % float(res.constraint_violation))
+    print("travel:", round(x[0] - theta[0], 4), "(>= 0.5)")
+    print("periodicity err:",
+          float(np.max(np.abs(np.concatenate(
+              [x[1:4] - theta[1:4], x[5:8] - theta[5:8]])))))
+
+
+if __name__ == "__main__":
+    main()
