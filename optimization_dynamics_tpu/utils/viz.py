@@ -1,0 +1,137 @@
+"""Trajectory visualization (MeshCat-free).
+
+The reference animates solutions in a MeshCat 3-D viewer
+(/root/reference/src/models/*/visuals.jl); in this headless TPU build the
+equivalents are matplotlib frame plots and a self-contained HTML player
+(SVG frames + a time slider) written next to the results.
+
+Per-model ``frame_*`` functions return 2-D line segments for one
+configuration; ``animate_html`` stitches any of them into an HTML file.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Sequence
+
+import numpy as np
+
+__all__ = [
+    "frame_cartpole", "frame_acrobot", "frame_planar_push", "frame_hopper",
+    "frame_rocket", "animate_html", "plot_trajectory",
+]
+
+
+def frame_cartpole(q, length=0.5):
+    cart = [(-0.15 + q[0], 0.0), (0.15 + q[0], 0.0)]
+    tip = (q[0] + length * np.sin(q[1]), -length * np.cos(q[1]))
+    pole = [(q[0], 0.0), tip]
+    return [cart, pole]
+
+
+def frame_acrobot(q, l1=1.0, l2=1.0):
+    p1 = (l1 * np.sin(q[0]), -l1 * np.cos(q[0]))
+    p2 = (p1[0] + l2 * np.sin(q[0] + q[1]),
+          p1[1] - l2 * np.cos(q[0] + q[1]))
+    return [[(0.0, 0.0), p1], [p1, p2]]
+
+
+def frame_planar_push(q, r=0.1):
+    c, s = np.cos(q[2]), np.sin(q[2])
+    R = np.array([[c, -s], [s, c]])
+    corners = [R @ np.array(p) + q[0:2]
+               for p in [(r, r), (-r, r), (-r, -r), (r, -r), (r, r)]]
+    box = [tuple(p) for p in corners]
+    pusher = [(q[3] - 0.02, q[4]), (q[3] + 0.02, q[4])]
+    return [box, pusher]
+
+
+def frame_hopper(q, body_radius=0.1):
+    foot = (q[0] + q[3] * np.sin(q[2]), q[1] - q[3] * np.cos(q[2]))
+    leg = [(q[0], q[1]), foot]
+    ang = np.linspace(0, 2 * np.pi, 17)
+    body = [(q[0] + body_radius * np.cos(a),
+             q[1] + body_radius * np.sin(a)) for a in ang]
+    return [leg, body]
+
+
+def frame_rocket(x, length=1.0):
+    from optimization_dynamics_tpu.models.rocket import mrp_rotation
+    import jax.numpy as jnp
+    R = np.asarray(mrp_rotation(jnp.asarray(x[3:6])))
+    top = x[0:3] + R @ np.array([0.0, 0.0, 0.5 * length])
+    bot = x[0:3] - R @ np.array([0.0, 0.0, 0.5 * length])
+    # project to (x, z)
+    return [[(bot[0], bot[2]), (top[0], top[2])]]
+
+
+def plot_trajectory(qs, frame_fn: Callable, path: str, stride: int = 1):
+    """Overlayed frames as a PNG via matplotlib."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    qs = np.asarray(qs)
+    n = len(qs)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for i in range(0, n, stride):
+        alpha = 0.15 + 0.85 * i / max(n - 1, 1)
+        for seg in frame_fn(qs[i]):
+            xs, ys = zip(*seg)
+            ax.plot(xs, ys, "-", color="tab:blue", alpha=alpha, lw=1.5)
+    ax.set_aspect("equal")
+    ax.grid(True, alpha=0.3)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def animate_html(qs, frame_fn: Callable, path: str, dt: float = 0.05,
+                 title: str = "trajectory"):
+    """Self-contained HTML animation (no external deps)."""
+    qs = np.asarray(qs)
+    frames = []
+    for q in qs:
+        frames.append([[list(map(float, p)) for p in seg]
+                       for seg in frame_fn(q)])
+    all_pts = [p for f in frames for seg in f for p in seg]
+    xs = [p[0] for p in all_pts]
+    ys = [p[1] for p in all_pts]
+    pad = 0.2
+    bounds = [min(xs) - pad, min(ys) - pad, max(xs) + pad, max(ys) + pad]
+    html = f"""<!DOCTYPE html><html><head><title>{title}</title></head>
+<body style="background:#fff;text-align:center">
+<h3>{title}</h3>
+<canvas id="c" width="600" height="600" style="border:1px solid #ccc"></canvas><br>
+<input id="s" type="range" min="0" max="{len(frames) - 1}" value="0" style="width:600px">
+<script>
+const frames = {json.dumps(frames)};
+const b = {json.dumps(bounds)};
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+function tf(p) {{
+  const sx = cv.width / (b[2] - b[0]), sy = cv.height / (b[3] - b[1]);
+  const s = Math.min(sx, sy);
+  return [(p[0] - b[0]) * s, cv.height - (p[1] - b[1]) * s];
+}}
+function draw(i) {{
+  ctx.clearRect(0, 0, cv.width, cv.height);
+  ctx.strokeStyle = '#1f77b4'; ctx.lineWidth = 3;
+  for (const seg of frames[i]) {{
+    ctx.beginPath();
+    seg.forEach((p, j) => {{
+      const q = tf(p);
+      j ? ctx.lineTo(q[0], q[1]) : ctx.moveTo(q[0], q[1]);
+    }});
+    ctx.stroke();
+  }}
+}}
+const sl = document.getElementById('s');
+sl.oninput = () => draw(+sl.value);
+let i = 0;
+setInterval(() => {{ i = (i + 1) % frames.length; sl.value = i; draw(i); }},
+            {int(dt * 1000)});
+draw(0);
+</script></body></html>"""
+    with open(path, "w") as f:
+        f.write(html)
+    return path
