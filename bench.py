@@ -22,6 +22,16 @@ def main():
     on_tpu = jax.default_backend() != "cpu"
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: first bench run pays the (slow, remote)
+    # TPU compile; subsequent runs start hot
+    import os
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
     from optimization_dynamics_tpu.examples import cartpole as ex
     from optimization_dynamics_tpu.solver.ilqr import solve
@@ -41,9 +51,9 @@ def main():
         dyn = make_implicit_dynamics(
             model,
             eval_opts=IPOptions(r_tol=3.0e-5, kappa_tol=1.0e-3,
-                                max_iter=40),
+                                max_iter=40, max_ls=8),
             grad_opts=IPOptions(r_tol=3.0e-5, kappa_tol=1.0e-3,
-                                max_iter=40))
+                                max_iter=40, max_ls=8))
         prob = prob._replace(
             dynamics=lambda t, x, u: dyn.step(x, u, aux),
             dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux))

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from optimization_dynamics_tpu.ops.cones import ConeSpec, step_to_boundary
+from optimization_dynamics_tpu.ops.linalg import newton_solve
 
 __all__ = ["IPOptions", "IPSolution", "make_solver", "make_sensitivity"]
 
@@ -151,7 +152,7 @@ def make_solver(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
             J = jacobian_fn(z, theta)
             if opts.gamma_reg > 0.0:
                 J = J + (opts.gamma_reg * kappa) * jnp.eye(spec.nz, dtype=dtype)
-            delta = jnp.linalg.solve(J, r_k)
+            delta = newton_solve(J, r_k)
 
             tau = jnp.clip(1.0 - merit_cur, opts.tau_min, opts.tau_max)
             alpha0 = step_to_boundary(spec, z, delta, tau=1.0) * tau
