@@ -60,6 +60,7 @@ class ILQROptions:
     reg_up: float = 10.0
     reg_down: float = 0.5
     lambda_max: float = 1.0e8
+    verbose: bool = False          # per-AL-iteration jax.debug.print logs
 
 
 class ILQRProblem(NamedTuple):
@@ -405,6 +406,10 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
         xs, us, J, inner_it = ilqr_inner(xs, us, lam, lamT, rho)
         it = it + inner_it
         vio = con_violation(xs, us, lam, lamT)
+        if opts.verbose:
+            jax.debug.print(
+                "al it={al} inner={inner} J={J:.6e} vio={vio:.3e} rho={rho:.1e}",
+                al=al_it, inner=inner_it, J=J, vio=vio, rho=rho)
         lam, lamT = dual_update(xs, us, lam, lamT, rho)
         rho = rho * opts.rho_scale
         return (xs, us, lam, lamT, rho, it, al_it + 1, vio)

@@ -62,6 +62,7 @@ class IPOptions:
     center_frac: float = 0.1       # inner solve tol: |r|_inf < center_frac*kappa
     tau_min: float = 0.75          # most conservative fraction-to-boundary
     tau_max: float = 0.99
+    verbose: bool = False          # per-iteration jax.debug.print logs
 
 
 class IPSolution(NamedTuple):
@@ -181,6 +182,10 @@ def make_solver(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
                 kappa,
             )
             r0_new = residual_fn(z_new, theta, 0.0)
+            if opts.verbose:
+                jax.debug.print(
+                    "ip it={it} merit={m:.3e} alpha={a:.3e} kappa={k:.3e}",
+                    it=it, m=new_merit, a=alpha, k=kappa_new)
             return (z_new, kappa_new, r0_new, it + 1, stalled_new)
 
         init = (z0, kappa0.astype(dtype), r0_init, jnp.asarray(0, jnp.int32),

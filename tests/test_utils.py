@@ -1,0 +1,63 @@
+"""Utils: benchmark harness, checkpointing, visualization smoke tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_dynamics_tpu.utils.benchmark import benchmark
+from optimization_dynamics_tpu.utils.checkpoint import (
+    SweepCheckpointer,
+    load_result,
+    save_result,
+)
+from optimization_dynamics_tpu.utils import viz
+
+
+def test_benchmark_harness():
+    stats = benchmark(lambda x: jnp.sum(x * x), jnp.ones(128), runs=3)
+    assert stats.runs == 3
+    assert stats.min_s >= 0.0
+    assert "median" in repr(stats)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from optimization_dynamics_tpu.solver.interior_point import IPSolution
+    res = IPSolution(
+        z=jnp.arange(4.0), iterations=jnp.asarray(3),
+        converged=jnp.asarray(True), r_vio=jnp.asarray(1e-9),
+        kappa_vio=jnp.asarray(1e-5))
+    p = str(tmp_path / "res.npz")
+    save_result(p, res, meta={"model": "acrobot"})
+    data, meta = load_result(p)
+    np.testing.assert_allclose(data["z"], np.arange(4.0))
+    assert meta["model"] == "acrobot"
+
+
+def test_sweep_checkpointer(tmp_path):
+    ck = SweepCheckpointer(str(tmp_path / "sweep"))
+    assert not ck.done(0)
+    ck.save(0, {"xs": jnp.ones((2, 3))}, meta={"shard": 0})
+    assert ck.done(0)
+    assert ck.completed_shards() == [0]
+    data, meta = ck.load(0)
+    assert data["xs"].shape == (2, 3)
+
+
+def test_viz_smoke(tmp_path):
+    qs = np.stack([[0.1 * i, 0.2 * i] for i in range(5)])
+    png = viz.plot_trajectory(qs, viz.frame_acrobot,
+                              str(tmp_path / "traj.png"))
+    assert os.path.getsize(png) > 0
+    html = viz.animate_html(qs, viz.frame_acrobot,
+                            str(tmp_path / "traj.html"))
+    assert os.path.getsize(html) > 0
+    # all model frames produce segments
+    for fn, q in [
+        (viz.frame_cartpole, [0.0, 0.3]),
+        (viz.frame_planar_push, [0, 0, 0.2, -0.1, 0.0]),
+        (viz.frame_hopper, [0, 0.5, 0.1, 0.5]),
+        (viz.frame_rocket, np.zeros(12)),
+    ]:
+        segs = fn(np.asarray(q, dtype=float))
+        assert len(segs) >= 1
