@@ -40,7 +40,7 @@ from optimization_dynamics_tpu.solver.interior_point import (
 
 __all__ = [
     "ImplicitModel", "ImplicitDynamics", "make_implicit_dynamics",
-    "state_to_configuration",
+    "simulate", "state_to_configuration",
 ]
 
 
@@ -166,6 +166,26 @@ def make_implicit_dynamics(
         step_jac=step_jac,
         step_diff=step_diff,
     )
+
+
+def simulate(dyn: ImplicitDynamics, x0: jnp.ndarray, us: jnp.ndarray,
+             aux) -> Tuple[jnp.ndarray, IPSolution]:
+    """Open-loop simulation collecting the full solver variables.
+
+    The TPU equivalent of ``RoboDojo.simulate!`` with its trajectory
+    buffers (q, gamma, b — SURVEY.md §2.3): returns the ``(T, 2 nq)``
+    state trajectory and the stacked per-step ``IPSolution`` (whose ``z``
+    rows contain configurations, contact impulses and slacks at each
+    step, sliced per the model's layout).
+    """
+
+    def f(x, u):
+        y, sol = dyn.step_info(x, u, aux)
+        return y, (y, sol)
+
+    _, (ys, sols) = jax.lax.scan(f, x0, us)
+    xs = jnp.concatenate([x0[None], ys], axis=0)
+    return xs, sols
 
 
 def state_to_configuration(xs: jnp.ndarray) -> jnp.ndarray:

@@ -5,12 +5,24 @@ examples' printed iteration/objective/violation checks plus the rocket
 thrust-cone feasibility assert, /root/reference/examples/rocket.jl:151).
 """
 
+import json
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from optimization_dynamics_tpu.solver.ilqr import solve
+
+_GOLDENS = json.load(open(os.path.join(os.path.dirname(__file__),
+                                       "goldens.json")))
+
+
+def _check_golden(name, value, rtol=0.05):
+    """Converged objectives drift-checked against recorded goldens."""
+    ref = _GOLDENS[name]
+    assert abs(value - ref) <= rtol * abs(ref), (name, value, ref)
 
 
 @pytest.mark.slow
@@ -22,6 +34,7 @@ def test_cartpole_friction_swingup():
     xT = np.array([0.0, np.pi, 0.0, np.pi])
     assert float(res.constraint_violation) < opts.con_tol
     np.testing.assert_allclose(np.asarray(res.xs[-1]), xT, atol=1e-2)
+    _check_golden("cartpole_friction_objective", float(res.objective))
 
 
 @pytest.mark.slow
@@ -34,6 +47,7 @@ def test_planar_push_translate():
     assert abs(float(res.xs[-1][5]) - 1.0) < 0.01
     # control limits respected
     assert float(jnp.max(jnp.abs(res.us))) <= 5.0 + 1e-6
+    _check_golden("planar_push_translate_objective", float(res.objective))
 
 
 @pytest.mark.slow
@@ -49,6 +63,7 @@ def test_rocket_projection_landing():
     _, xT = ex.initial_and_goal()
     # lands upright at the pad (positions within terminal boxes)
     assert abs(float(res.xs[-1][2]) - 1.0) < 0.01
+    _check_golden("rocket_projection_objective", float(res.objective))
 
 
 @pytest.mark.slow
@@ -62,3 +77,4 @@ def test_hopper_gait():
     assert x[0] - theta[0] >= 0.5 - 1e-3          # travel
     assert np.max(np.abs(np.concatenate(
         [x[1:4] - theta[1:4], x[5:8] - theta[5:8]]))) < 1e-2  # periodicity
+    _check_golden("hopper_gait1_objective", float(res.objective))
