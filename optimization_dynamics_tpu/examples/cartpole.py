@@ -57,6 +57,8 @@ def build_problem(mode: str = "friction", friction=(0.35, 0.35),
         stage_cost=stage_cost,
         terminal_cost=terminal_cost,
         terminal_con=lambda x: x - xT,
+        dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
+        carry_init=dyn.carry_init,
     )
 
     opts = ILQROptions(
