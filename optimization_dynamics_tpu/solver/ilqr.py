@@ -61,6 +61,10 @@ class ILQROptions:
     reg_down: float = 0.5
     lambda_max: float = 1.0e8
     verbose: bool = False          # per-AL-iteration jax.debug.print logs
+    # evaluate all Armijo step sizes as ONE batched rollout (vmap over the
+    # alpha grid) instead of sequential trials — latency-optimal on TPU,
+    # where a batched scan costs the same wall time as a single rollout
+    parallel_linesearch: bool = False
 
 
 class ILQRProblem(NamedTuple):
@@ -334,29 +338,48 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
             d = derivatives(xs, us)
             Ks, ks, dV1, dV2, qu_inf, bp_ok = backward(*d, reg)
 
-            def ls_cond(ls):
-                alpha, accepted, best = ls
-                return jnp.logical_and(alpha >= opts.alpha_min,
-                                       jnp.logical_not(accepted))
-
-            def ls_body(ls):
-                alpha, accepted, best = ls
-                xs_c, us_c, J_c = closed_loop_rollout(
-                    xs, us, Ks, ks, alpha, lam, lamT, rho)
-                expected = alpha * dV1 + alpha * alpha * dV2
+            if opts.parallel_linesearch:
+                import math
+                n_alpha = int(math.ceil(
+                    math.log2(1.0 / opts.alpha_min))) + 1
+                alphas = (0.5 ** jnp.arange(n_alpha)).astype(dtype)
+                xs_c, us_c, J_c = jax.vmap(
+                    lambda a: closed_loop_rollout(
+                        xs, us, Ks, ks, a, lam, lamT, rho))(alphas)
+                expected = alphas * dV1 + alphas * alphas * dV2
                 ok = jnp.logical_and(
                     jnp.isfinite(J_c),
                     J_c <= J + opts.armijo_c1 * jnp.minimum(expected, 0.0))
-                best = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(ok, new, old),
-                    (xs_c, us_c, J_c), best)
-                return (alpha * 0.5, jnp.logical_or(accepted, ok), best)
+                accepted = jnp.any(ok)
+                pick = jnp.argmax(ok)       # largest alpha that passes
+                xs_n = jnp.where(accepted, xs_c[pick], xs)
+                us_n = jnp.where(accepted, us_c[pick], us)
+                J_n = jnp.where(accepted, J_c[pick], J)
+            else:
+                def ls_cond(ls):
+                    alpha, accepted, best = ls
+                    return jnp.logical_and(alpha >= opts.alpha_min,
+                                           jnp.logical_not(accepted))
 
-            init_best = (xs, us, J)
-            alpha0 = jnp.asarray(1.0, dtype)
-            _, accepted, (xs_n, us_n, J_n) = jax.lax.while_loop(
-                ls_cond, ls_body,
-                (alpha0, jnp.asarray(False), init_best))
+                def ls_body(ls):
+                    alpha, accepted, best = ls
+                    xs_c, us_c, J_c = closed_loop_rollout(
+                        xs, us, Ks, ks, alpha, lam, lamT, rho)
+                    expected = alpha * dV1 + alpha * alpha * dV2
+                    ok = jnp.logical_and(
+                        jnp.isfinite(J_c),
+                        J_c <= J + opts.armijo_c1
+                        * jnp.minimum(expected, 0.0))
+                    best = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(ok, new, old),
+                        (xs_c, us_c, J_c), best)
+                    return (alpha * 0.5, jnp.logical_or(accepted, ok), best)
+
+                init_best = (xs, us, J)
+                alpha0 = jnp.asarray(1.0, dtype)
+                _, accepted, (xs_n, us_n, J_n) = jax.lax.while_loop(
+                    ls_cond, ls_body,
+                    (alpha0, jnp.asarray(False), init_best))
 
             ls_failed = jnp.logical_not(jnp.logical_and(accepted, bp_ok))
             reg_n = jnp.where(
