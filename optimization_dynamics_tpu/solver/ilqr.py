@@ -65,6 +65,11 @@ class ILQROptions:
     # alpha grid) instead of sequential trials — latency-optimal on TPU,
     # where a batched scan costs the same wall time as a single rollout
     parallel_linesearch: bool = False
+    # parallel-in-time Riccati backward pass via associative scan
+    # (log2(T) depth instead of T sequential steps; see PAPERS.md,
+    # "The Parallelization of Riccati Recursion"). Mathematically
+    # identical to the sequential pass (regularization folded into luu).
+    parallel_riccati: bool = False
 
 
 class ILQRProblem(NamedTuple):
@@ -314,6 +319,96 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
         return (Ks, ks, jnp.sum(dV1s), jnp.sum(dV2s),
                 jnp.max(qu_infs), jnp.all(oks))
 
+    def backward_parallel(fxs, fus, lxs, lus, lxxs, luus, luxs, gT, HT,
+                          reg):
+        """Associative-scan Riccati: identical math to ``backward`` with
+        the regularizer folded into luu, but log2(T) sequential depth.
+
+        Conditional-value-function elements (A, b, C, eta, J) composed by
+        W(x,z) = max_l [l^T(z - A x - b) - l^T C l / 2] + x^T J x / 2
+                 - eta^T x.
+        """
+        nxl = prob.nx
+        m = prob.u_mask                                  # (T-1, nu)
+        mm = m[:, :, None] * m[:, None, :]
+        luu_m = (jnp.where(mm, luus, 0.0)
+                 + jax.vmap(jnp.diag)(jnp.where(m, reg, 1.0)))
+        lu_m = jnp.where(m, lus, 0.0)
+        lux_m = jnp.where(m[:, :, None], luxs, 0.0)
+        fus_m = jnp.where(m[:, None, :], fus, 0.0)
+
+        uinv_lux = jax.vmap(jnp.linalg.solve)(luu_m, lux_m)
+        uinv_lu = jax.vmap(jnp.linalg.solve)(luu_m, lu_m[..., None])[..., 0]
+        uinv_gt = jax.vmap(jnp.linalg.solve)(
+            luu_m, jnp.swapaxes(fus_m, 1, 2))
+
+        A_el = fxs - jnp.einsum("tij,tjk->tik", fus_m, uinv_lux)
+        b_el = -jnp.einsum("tij,tj->ti", fus_m, uinv_lu)
+        C_el = jnp.einsum("tij,tjk->tik", fus_m, uinv_gt)
+        J_el = lxxs - jnp.einsum("tji,tjk->tik", lux_m, uinv_lux)
+        eta_el = -(lxs - jnp.einsum("tji,tj->ti", lux_m, uinv_lu))
+
+        # append the terminal element (A=0, b=0, C=0, J=HT, eta=-gT)
+        zero_m = jnp.zeros((1, nxl, nxl), dtype)
+        A_all = jnp.concatenate([A_el, zero_m], axis=0)
+        b_all = jnp.concatenate([b_el, jnp.zeros((1, nxl), dtype)], axis=0)
+        C_all = jnp.concatenate([C_el, zero_m], axis=0)
+        J_all = jnp.concatenate([J_el, HT[None]], axis=0)
+        eta_all = jnp.concatenate([eta_el, -gT[None]], axis=0)
+
+        eye = jnp.eye(nxl, dtype=dtype)
+
+        def combine(early, late):
+            A1, b1, C1, e1, J1 = early
+            A2, b2, C2, e2, J2 = late
+            M = eye + C1 @ J2
+            Minv_A1 = jnp.linalg.solve(M, A1)
+            Minv_rhs = jnp.linalg.solve(M, (b1 + C1 @ e2)[:, None])[:, 0]
+            Nt = eye + J2 @ C1
+            Ninv_J2A1 = jnp.linalg.solve(Nt, J2 @ A1)
+            Ninv_vec = jnp.linalg.solve(Nt, (e2 - J2 @ b1)[:, None])[:, 0]
+            A = A2 @ Minv_A1
+            b = A2 @ Minv_rhs + b2
+            C = A2 @ jnp.linalg.solve(M, C1) @ A2.T + C2
+            C = 0.5 * (C + C.T)
+            eta = A1.T @ Ninv_vec + e1
+            J = A1.T @ Ninv_J2A1 + J1
+            J = 0.5 * (J + J.T)
+            return (A, b, C, eta, J)
+
+        suffix = jax.lax.associative_scan(
+            lambda a, b: jax.vmap(combine)(b, a),
+            (A_all, b_all, C_all, eta_all, J_all), reverse=True)
+        # V_t(x) = x^T J x / 2 - eta^T x  ->  Vxx = J, Vx = -eta
+        Vxx = suffix[4]
+        Vx = -suffix[3]
+
+        def gains(t, fx, fu, lx, lu, lxx, luu, lux):
+            Vx1 = Vx[t + 1]
+            Vxx1 = Vxx[t + 1]
+            mt = prob.u_mask[t]
+            Qu = jnp.where(mt, lu + fu.T @ Vx1, 0.0)
+            Qux = jnp.where(mt[:, None], lux + fu.T @ Vxx1 @ fx, 0.0)
+            Quu = (jnp.where(jnp.outer(mt, mt), luu + fu.T @ Vxx1 @ fu,
+                             0.0)
+                   + jnp.diag(jnp.where(mt, reg, 1.0)))
+            chol = jnp.linalg.cholesky(Quu)
+            ok = jnp.all(jnp.isfinite(chol))
+            rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
+            sol = jax.scipy.linalg.cho_solve((chol, True), rhs)
+            k = -sol[:, 0]
+            K = -sol[:, 1:]
+            dV1 = jnp.dot(k, Qu)
+            dV2 = 0.5 * jnp.dot(k, Quu @ k)
+            return K, k, dV1, dV2, jnp.max(jnp.abs(Qu)), ok
+
+        Ks, ks, dV1s, dV2s, qu_infs, oks = jax.vmap(gains)(
+            ts, fxs, fus, lxs, lus, lxxs, luus, luxs)
+        return (Ks, ks, jnp.sum(dV1s), jnp.sum(dV2s),
+                jnp.max(qu_infs), jnp.all(oks))
+
+    backward_fn = backward_parallel if opts.parallel_riccati else backward
+
     def ilqr_inner(xs, us, lam, lamT, rho):
         """Run the unconstrained (AL-objective) iLQR to tolerance.
         ``max_iter`` bounds the iterations of *this* inner solve (one AL
@@ -336,7 +431,7 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
         def body(state):
             xs, us, J, reg, it, done = state
             d = derivatives(xs, us)
-            Ks, ks, dV1, dV2, qu_inf, bp_ok = backward(*d, reg)
+            Ks, ks, dV1, dV2, qu_inf, bp_ok = backward_fn(*d, reg)
 
             if opts.parallel_linesearch:
                 import math
