@@ -32,7 +32,7 @@ def _problem(T=20, h=0.1):
 def _solve(prob, **kw):
     opts = dataclasses.replace(ILQROptions(con_tol=1e-5), **kw)
     return jax.jit(lambda x, u: solve(prob, x, u, opts))(
-        jnp.zeros(2), jnp.zeros((prob.T - 1, 1)))
+        jnp.zeros(2), jnp.zeros((prob.T - 1, prob.nu)))
 
 
 def test_parallel_riccati_matches_sequential():
