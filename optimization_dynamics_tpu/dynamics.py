@@ -98,10 +98,15 @@ def make_implicit_dynamics(
     grad_opts: IPOptions | None = None,
 ) -> ImplicitDynamics:
     nq = model.nq
+    # kappa_init_min: warm-started steps (step_carry) keep a short
+    # central-path continuation so they stay on the same complementarity
+    # branch as cold path-following; no effect on cold starts.
     if eval_opts is None:
-        eval_opts = IPOptions(r_tol=r_tol, kappa_tol=kappa_eval_tol)
+        eval_opts = IPOptions(r_tol=r_tol, kappa_tol=kappa_eval_tol,
+                              kappa_init_min=1.0e-2)
     if grad_opts is None:
-        grad_opts = IPOptions(r_tol=r_tol, kappa_tol=kappa_grad_tol)
+        grad_opts = IPOptions(r_tol=r_tol, kappa_tol=kappa_grad_tol,
+                              kappa_init_min=1.0e-2)
 
     eval_solve = make_solver(model.residual, model.spec, eval_opts)
     grad_solve = make_solver(model.residual, model.spec, grad_opts)

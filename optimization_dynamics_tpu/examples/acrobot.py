@@ -61,6 +61,8 @@ def build_problem(mode: str = "impact", kappa_grad: float = 1.0e-3,
         stage_cost=stage_cost,
         terminal_cost=terminal_cost,
         terminal_con=lambda x: x - xT,
+        dynamics_ws=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
+        ws_init=lambda t, x, u: dyn.carry_init(x),
         dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
         carry_init=dyn.carry_init,
     )

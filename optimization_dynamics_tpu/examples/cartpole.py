@@ -57,6 +57,9 @@ def build_problem(mode: str = "friction", friction=(0.35, 0.35),
         stage_cost=stage_cost,
         terminal_cost=terminal_cost,
         terminal_con=lambda x: x - xT,
+        # open-loop carry only: the friction-0.35 swing-up is knife-edge
+        # sensitive and line-search warm starts (dynamics_ws) push it off
+        # its convergence path — see docs/DESIGN.md
         dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
         carry_init=dyn.carry_init,
     )

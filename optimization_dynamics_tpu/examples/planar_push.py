@@ -94,6 +94,8 @@ def build_problem(mode: str = "rotate", gradient_bundle: bool = False,
         stage_con=stage_con,
         terminal_con=terminal_con,
         ineq_mask=jnp.ones((T - 1, 2 * NU), bool),
+        dynamics_ws=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
+        ws_init=lambda t, x, u: dyn.carry_init(x),
         dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
         carry_init=dyn.carry_init,
     )

@@ -1,0 +1,104 @@
+"""Production-style scenario sweep: thousands of contact-implicit solves
+sharded over the device mesh.
+
+Demonstrates the scale-out path (SURVEY.md §2.5): a grid of (friction
+coefficient, initial state) cartpole swing-up scenarios is vmapped per
+chip and sharded across all devices; shards stream through the
+checkpointer so preempted sweeps resume; convergence statistics aggregate
+across the mesh. Multi-host: run under ``jax.distributed.initialize()``
+with no code changes.
+
+Usage: python -m optimization_dynamics_tpu.examples.sweep [n_scenarios]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from optimization_dynamics_tpu.dynamics import make_implicit_dynamics
+from optimization_dynamics_tpu.models import cartpole
+from optimization_dynamics_tpu.parallel.mesh import (
+    convergence_summary,
+    scenario_mesh,
+    shard_scenarios,
+)
+from optimization_dynamics_tpu.solver.ilqr import (
+    ILQROptions,
+    ILQRProblem,
+    solve,
+)
+from optimization_dynamics_tpu.utils.checkpoint import SweepCheckpointer
+
+H, T = 0.05, 51
+
+
+def make_solver(dtype=jnp.float64):
+    """One scenario = (friction pair, initial state) -> full AL-iLQR solve.
+
+    Friction travels through theta, so it is a vmappable input.
+    """
+    dyn = make_implicit_dynamics(
+        cartpole.friction_model(),
+        kappa_eval_tol=1.0e-4, kappa_grad_tol=1.0e-3)
+    xT = jnp.array([0.0, jnp.pi, 0.0, jnp.pi], dtype)
+
+    def solve_one(friction, x0):
+        aux = cartpole.CartpoleAux(h=H, friction=friction)
+        prob = ILQRProblem(
+            T=T, nx=4, nu=1, ncon=0, nconT=4,
+            dynamics=lambda t, x, u: dyn.step(x, u, aux),
+            dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+            stage_cost=lambda t, x, u: u @ u,
+            terminal_cost=lambda x: (x - xT) @ (x - xT),
+            terminal_con=lambda x: x - xT,
+            dynamics_ws=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
+            ws_init=lambda t, x, u: dyn.carry_init(x),
+            dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
+            carry_init=dyn.carry_init,
+        )
+        opts = ILQROptions(max_iter=100, max_al_iter=20, con_tol=0.005)
+        us0 = jnp.zeros((T - 1, 1), dtype).at[0, 0].set(-1.5)
+        return solve(prob, x0, us0, opts)
+
+    return solve_one
+
+
+def run_sweep(n_scenarios: int = 64, shard_size: int = 32,
+              out_dir: str = "runs/cartpole_sweep", dtype=jnp.float64):
+    mesh = scenario_mesh()
+    solve_one = make_solver(dtype)
+    run = jax.jit(jax.vmap(solve_one))
+    ck = SweepCheckpointer(out_dir)
+
+    key = jax.random.PRNGKey(0)
+    frictions = jnp.linspace(0.05, 0.4, n_scenarios)[:, None].repeat(2, 1)
+    x0s = 0.02 * jax.random.normal(key, (n_scenarios, 4), dtype)
+
+    n_shards = (n_scenarios + shard_size - 1) // shard_size
+    stats = []
+    for s in range(n_shards):
+        if ck.done(s):
+            continue
+        sl = slice(s * shard_size, (s + 1) * shard_size)
+        fr = shard_scenarios(mesh, frictions[sl].astype(dtype))
+        x0 = shard_scenarios(mesh, x0s[sl])
+        t0 = time.time()
+        res = run(fr, x0)
+        jax.block_until_ready(res.xs)
+        wall = time.time() - t0
+        summary = convergence_summary(res.converged, res.iterations)
+        summary["wall_s"] = round(wall, 3)
+        summary["solves_per_s"] = round(fr.shape[0] / wall, 2)
+        ck.save(s, res, meta=summary)
+        stats.append(summary)
+        print(f"shard {s}: {summary}", flush=True)
+    return stats
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    run_sweep(n)

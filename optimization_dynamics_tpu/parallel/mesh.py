@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 __all__ = ["scenario_mesh", "shard_scenarios", "sharded_map",
-           "device_count"]
+           "device_count", "convergence_summary"]
 
 SCENARIO_AXIS = "scenario"
 
@@ -45,6 +45,27 @@ def shard_scenarios(mesh: Mesh, batch):
     across the mesh's scenario axis."""
     sharding = NamedSharding(mesh, PartitionSpec(SCENARIO_AXIS))
     return jax.device_put(batch, sharding)
+
+
+def convergence_summary(converged, iterations=None):
+    """Aggregate per-scenario solve status across a (sharded) batch.
+
+    The build's failure-detection surface (SURVEY.md §5): solver failures
+    are per-scenario flags; this reduces them to fleet statistics. Works on
+    sharded arrays (XLA inserts the cross-device reductions).
+    """
+    import jax.numpy as jnp
+
+    n = converged.shape[0]
+    out = {
+        "n_scenarios": n,
+        "n_converged": int(jnp.sum(converged)),
+        "fraction_converged": float(jnp.mean(converged.astype(jnp.float32))),
+    }
+    if iterations is not None:
+        out["mean_iterations"] = float(jnp.mean(iterations))
+        out["max_iterations"] = int(jnp.max(iterations))
+    return out
 
 
 def sharded_map(fn: Callable, mesh: Mesh, out_specs=PartitionSpec(SCENARIO_AXIS)) -> Callable:

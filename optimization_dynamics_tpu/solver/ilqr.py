@@ -95,9 +95,15 @@ class ILQRProblem(NamedTuple):
     ineq_mask: Optional[jnp.ndarray] = None      # (T-1, ncon) bool
     terminal_ineq_mask: Optional[jnp.ndarray] = None  # (nconT,) bool
     u_mask: Optional[jnp.ndarray] = None         # (T-1, nu) bool
-    # optional warm-start thread through rollouts: implicit-dynamics steps
-    # warm-started from the previous timestep's solver variables converge
-    # in ~2.4x fewer Newton iterations (measured on cartpole-friction)
+    # optional per-timestep warm starts: implicit-dynamics steps warm-start
+    # from the previous ACCEPTED trajectory's solver variables at the SAME
+    # timestep (~2.4x fewer Newton iterations, and branch-consistent —
+    # cross-time carry inside aggressive line-search rollouts can land on
+    # different complementarity branches and derail the solve)
+    dynamics_ws: Optional[Callable] = None   # (t, x, u, ws_t) -> (y, ws_t')
+    ws_init: Optional[Callable] = None       # (t, x, u) -> ws_t
+    # open-loop rollout may thread cross-time carry (safe there: states
+    # change slowly along a single rollout)
     dynamics_carry: Optional[Callable] = None    # (t, x, u, c) -> (y, c)
     carry_init: Optional[Callable] = None        # (x0,) -> carry pytree
 
@@ -256,28 +262,28 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
         Js = jax.vmap(prob.stage_cost)(ts, xs[:-1], us)
         return jnp.sum(Js) + prob.terminal_cost(xs[-1])
 
-    has_carry = prob.dynamics_carry is not None
+    has_ws = prob.dynamics_ws is not None
 
-    def closed_loop_rollout(xs_ref, us_ref, Ks, ks, alpha, lam, lamT, rho):
+    def closed_loop_rollout(xs_ref, us_ref, Ks, ks, alpha, lam, lamT, rho,
+                            wss):
         def f(carry, inp):
-            x, J, c = carry
-            t, x_ref, u_ref, K, k = inp
+            x, J = carry
+            t, x_ref, u_ref, K, k, ws = inp
             u = u_ref + alpha * k + K @ (x - x_ref)
             u = jnp.where(prob.u_mask[t], u, u_ref)
             J = J + stage_al(t, x, u, lam[t], rho)
-            if has_carry:
-                y, c = prob.dynamics_carry(t, x, u, c)
+            if has_ws:
+                y, ws = prob.dynamics_ws(t, x, u, ws)
             else:
                 y = prob.dynamics(t, x, u)
-            return (y, J, c), (x, u)
+            return (y, J), (x, u, ws)
 
-        c0 = prob.carry_init(xs_ref[0]) if has_carry else ()
-        (xT, J, _), (xs, us) = jax.lax.scan(
-            f, (xs_ref[0], jnp.asarray(0.0, dtype), c0),
-            (ts, xs_ref[:-1], us_ref, Ks, ks))
+        (xT, J), (xs, us, wss_new) = jax.lax.scan(
+            f, (xs_ref[0], jnp.asarray(0.0, dtype)),
+            (ts, xs_ref[:-1], us_ref, Ks, ks, wss))
         J = J + terminal_al(xT, lamT, rho)
         xs = jnp.concatenate([xs, xT[None]], axis=0)
-        return xs, us, J
+        return xs, us, J, wss_new
 
     def backward(fxs, fus, lxs, lus, lxxs, luus, luxs, gT, HT, reg):
         """Reverse Riccati scan; returns gains + expected decrease."""
@@ -409,7 +415,7 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
 
     backward_fn = backward_parallel if opts.parallel_riccati else backward
 
-    def ilqr_inner(xs, us, lam, lamT, rho):
+    def ilqr_inner(xs, us, wss, lam, lamT, rho):
         """Run the unconstrained (AL-objective) iLQR to tolerance.
         ``max_iter`` bounds the iterations of *this* inner solve (one AL
         round), matching the reference's per-round ``max_iter``."""
@@ -424,12 +430,12 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
             return fxs, fus, lxs, lus, lxxs, luus, luxs, gT, HT
 
         def cond(state):
-            xs, us, J, reg, it, done = state
+            xs, us, wss, J, reg, it, done = state
             return jnp.logical_and(it < opts.max_iter,
                                    jnp.logical_not(done))
 
         def body(state):
-            xs, us, J, reg, it, done = state
+            xs, us, wss, J, reg, it, done = state
             d = derivatives(xs, us)
             Ks, ks, dV1, dV2, qu_inf, bp_ok = backward_fn(*d, reg)
 
@@ -438,9 +444,9 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
                 n_alpha = int(math.ceil(
                     math.log2(1.0 / opts.alpha_min))) + 1
                 alphas = (0.5 ** jnp.arange(n_alpha)).astype(dtype)
-                xs_c, us_c, J_c = jax.vmap(
+                xs_c, us_c, J_c, wss_c = jax.vmap(
                     lambda a: closed_loop_rollout(
-                        xs, us, Ks, ks, a, lam, lamT, rho))(alphas)
+                        xs, us, Ks, ks, a, lam, lamT, rho, wss))(alphas)
                 expected = alphas * dV1 + alphas * alphas * dV2
                 ok = jnp.logical_and(
                     jnp.isfinite(J_c),
@@ -450,6 +456,9 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
                 xs_n = jnp.where(accepted, xs_c[pick], xs)
                 us_n = jnp.where(accepted, us_c[pick], us)
                 J_n = jnp.where(accepted, J_c[pick], J)
+                wss_n = jax.tree_util.tree_map(
+                    lambda c, old: jnp.where(accepted, c[pick], old),
+                    wss_c, wss)
             else:
                 def ls_cond(ls):
                     alpha, accepted, best = ls
@@ -458,8 +467,8 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
 
                 def ls_body(ls):
                     alpha, accepted, best = ls
-                    xs_c, us_c, J_c = closed_loop_rollout(
-                        xs, us, Ks, ks, alpha, lam, lamT, rho)
+                    xs_c, us_c, J_c, wss_c = closed_loop_rollout(
+                        xs, us, Ks, ks, alpha, lam, lamT, rho, wss)
                     expected = alpha * dV1 + alpha * alpha * dV2
                     ok = jnp.logical_and(
                         jnp.isfinite(J_c),
@@ -467,12 +476,12 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
                         * jnp.minimum(expected, 0.0))
                     best = jax.tree_util.tree_map(
                         lambda new, old: jnp.where(ok, new, old),
-                        (xs_c, us_c, J_c), best)
+                        (xs_c, us_c, J_c, wss_c), best)
                     return (alpha * 0.5, jnp.logical_or(accepted, ok), best)
 
-                init_best = (xs, us, J)
+                init_best = (xs, us, J, wss)
                 alpha0 = jnp.asarray(1.0, dtype)
-                _, accepted, (xs_n, us_n, J_n) = jax.lax.while_loop(
+                _, accepted, (xs_n, us_n, J_n, wss_n) = jax.lax.while_loop(
                     ls_cond, ls_body,
                     (alpha0, jnp.asarray(False), init_best))
 
@@ -485,6 +494,8 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
             xs_n = jnp.where(ls_failed, xs, xs_n)
             us_n = jnp.where(ls_failed, us, us_n)
             J_n = jnp.where(ls_failed, J, J_n)
+            wss_n = jax.tree_util.tree_map(
+                lambda c, old: jnp.where(ls_failed, old, c), wss_n, wss)
 
             grad_small = qu_inf < opts.grad_tol
             obj_small = jnp.abs(J - J_n) < opts.obj_tol
@@ -493,13 +504,13 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
                 grad_small,
                 jnp.logical_or(jnp.logical_and(accepted, obj_small),
                                jnp.logical_and(ls_failed, reg_capped)))
-            return (xs_n, us_n, J_n, reg_n, it + 1, done_n)
+            return (xs_n, us_n, wss_n, J_n, reg_n, it + 1, done_n)
 
         J0 = traj_cost(xs, us, lam, lamT, rho)
-        state = (xs, us, J0, jnp.asarray(opts.reg_init, dtype),
+        state = (xs, us, wss, J0, jnp.asarray(opts.reg_init, dtype),
                  jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        xs, us, J, reg, it, _ = jax.lax.while_loop(cond, body, state)
-        return xs, us, J, it
+        xs, us, wss, J, reg, it, _ = jax.lax.while_loop(cond, body, state)
+        return xs, us, wss, J, it
 
     # ----- augmented Lagrangian outer loop -----
     has_con = prob.stage_con is not None
@@ -529,19 +540,23 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
         return lam, lamT
 
     xs0 = rollout(prob, x0, us_init) if xs_init is None else xs_init
+    if has_ws:
+        wss0 = jax.vmap(prob.ws_init)(ts, xs0[:-1], us_init)
+    else:
+        wss0 = jnp.zeros(T - 1, dtype)
     lam0 = jnp.zeros((T - 1, max(ncon, 1)), dtype)
     lamT0 = jnp.zeros(max(nconT, 1), dtype)
     rho0 = jnp.asarray(opts.rho_init, dtype)
 
     def al_cond(state):
-        xs, us, lam, lamT, rho, it, al_it, vio = state
+        xs, us, wss, lam, lamT, rho, it, al_it, vio = state
         converged = vio < opts.con_tol
         return jnp.logical_and(al_it < opts.max_al_iter,
                                jnp.logical_not(converged))
 
     def al_body(state):
-        xs, us, lam, lamT, rho, it, al_it, vio = state
-        xs, us, J, inner_it = ilqr_inner(xs, us, lam, lamT, rho)
+        xs, us, wss, lam, lamT, rho, it, al_it, vio = state
+        xs, us, wss, J, inner_it = ilqr_inner(xs, us, wss, lam, lamT, rho)
         it = it + inner_it
         vio = con_violation(xs, us, lam, lamT)
         if opts.verbose:
@@ -550,16 +565,17 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
                 al=al_it, inner=inner_it, J=J, vio=vio, rho=rho)
         lam, lamT = dual_update(xs, us, lam, lamT, rho)
         rho = rho * opts.rho_scale
-        return (xs, us, lam, lamT, rho, it, al_it + 1, vio)
+        return (xs, us, wss, lam, lamT, rho, it, al_it + 1, vio)
 
     vio_init = jnp.asarray(jnp.inf, dtype)
-    state = (xs0, us_init, lam0, lamT0, rho0, jnp.asarray(0, jnp.int32),
-             jnp.asarray(0, jnp.int32), vio_init)
+    state = (xs0, us_init, wss0, lam0, lamT0, rho0,
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), vio_init)
     if has_con or has_conT:
-        xs, us, lam, lamT, rho, it, al_it, vio = jax.lax.while_loop(
+        xs, us, wss, lam, lamT, rho, it, al_it, vio = jax.lax.while_loop(
             al_cond, al_body, state)
     else:
-        xs, us, J, it = ilqr_inner(xs0, us_init, lam0, lamT0, rho0)
+        xs, us, wss, J, it = ilqr_inner(xs0, us_init, wss0, lam0, lamT0,
+                                        rho0)
         lam, lamT, rho = lam0, lamT0, rho0
         al_it = jnp.asarray(1, jnp.int32)
         vio = jnp.asarray(0.0, dtype)

@@ -34,7 +34,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from optimization_dynamics_tpu.ops.cones import ConeSpec, step_to_boundary
+from optimization_dynamics_tpu.ops.cones import (
+    ConeSpec,
+    interior_init,
+    step_to_boundary,
+)
 from optimization_dynamics_tpu.ops.linalg import newton_solve
 
 __all__ = ["IPOptions", "IPSolution", "make_solver", "make_sensitivity"]
@@ -59,6 +63,12 @@ class IPOptions:
     kappa_scale: float = 0.1       # geometric central-path decrease
     kappa_final_frac: float = 0.8  # park products at this fraction of kappa_tol
     kappa_init_max: float = 1.0    # cap on the initial relaxation
+    # floor on the initial relaxation: a warm start whose products already
+    # sit at kappa_final would otherwise skip the continuation entirely,
+    # and plain Newton at tiny kappa can select a different
+    # complementarity branch than path-following does. A small floor
+    # restores a short continuation while keeping the warm iterate.
+    kappa_init_min: float = 0.0
     center_frac: float = 0.1       # inner solve tol: |r|_inf < center_frac*kappa
     tau_min: float = 0.75          # most conservative fraction-to-boundary
     tau_max: float = 0.99
@@ -126,7 +136,8 @@ def make_solver(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
         r0_init = residual_fn(z0, theta, 0.0)
         rv0, kv0 = vio(r0_init)
         if has_cones:
-            kappa0 = jnp.clip(kv0, kappa_final, opts.kappa_init_max)
+            kappa_lo = max(kappa_final, opts.kappa_init_min)
+            kappa0 = jnp.clip(kv0, kappa_lo, opts.kappa_init_max)
         else:
             kappa0 = jnp.asarray(kappa_final, dtype)
 
@@ -139,14 +150,14 @@ def make_solver(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
             return merit(r0, kappa_final) < opts.r_tol
 
         def cond(state):
-            z, kappa, r0, it, stalled = state
+            z, kappa, r0, it, stalled, reinit_used = state
             return jnp.logical_and(
                 it < opts.max_iter,
                 jnp.logical_not(jnp.logical_or(converged(r0), stalled)),
             )
 
         def body(state):
-            z, kappa, r0, it, stalled = state
+            z, kappa, r0, it, stalled, reinit_used = state
             r_k = r0 - kappa * head_mask
             merit_cur = jnp.max(jnp.abs(r_k))
 
@@ -181,16 +192,35 @@ def make_solver(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
                 jnp.maximum(kappa * opts.kappa_scale, kappa_final),
                 kappa,
             )
+            # stall recovery: a bad (e.g. carried) warm start can wedge the
+            # line search at a wrong active set. Once per solve, reset the
+            # cone variables to the canonical interior point (keeping the
+            # configuration guess) and restart the central path.
+            if has_cones:
+                do_reinit = jnp.logical_and(stalled_new,
+                                            jnp.logical_not(reinit_used))
+                z_reinit = interior_init(spec, z_new)
+                z_new = jnp.where(do_reinit, z_reinit, z_new)
+                stalled_new = jnp.logical_and(stalled_new, reinit_used)
+                reinit_used = jnp.logical_or(reinit_used, do_reinit)
+
             r0_new = residual_fn(z_new, theta, 0.0)
+            if has_cones:
+                _, kv_new = vio(r0_new)
+                kappa_new = jnp.where(
+                    do_reinit,
+                    jnp.clip(kv_new, kappa_final, opts.kappa_init_max),
+                    kappa_new)
             if opts.verbose:
                 jax.debug.print(
                     "ip it={it} merit={m:.3e} alpha={a:.3e} kappa={k:.3e}",
                     it=it, m=new_merit, a=alpha, k=kappa_new)
-            return (z_new, kappa_new, r0_new, it + 1, stalled_new)
+            return (z_new, kappa_new, r0_new, it + 1, stalled_new,
+                    reinit_used)
 
         init = (z0, kappa0.astype(dtype), r0_init, jnp.asarray(0, jnp.int32),
-                jnp.asarray(False))
-        z, kappa, r0, it, _ = jax.lax.while_loop(cond, body, init)
+                jnp.asarray(False), jnp.asarray(False))
+        z, kappa, r0, it, _, _ = jax.lax.while_loop(cond, body, init)
         rv, kv = vio(r0)
         return IPSolution(z=z, iterations=it, converged=converged(r0),
                           r_vio=rv, kappa_vio=kv)
