@@ -1,14 +1,16 @@
-"""Benchmark: full contact-implicit iLQR solves per second on one chip.
+"""Benchmark: contact-implicit solver throughput on one chip.
 
-Headline metric per BASELINE.md north star: batched cartpole-with-friction
-swing-up solves (reference configuration T=51, friction 0.35,
-/root/reference/examples/cartpole.jl) run as one vmapped XLA program with
-trajectory warm starts, parallel Armijo line search and the
-associative-scan Riccati pass. ``vs_baseline`` is measured against the
-north-star per-chip share of the v5e-16 target (1000 / 16 = 62.5
-solves/s/chip).
+Headline metric per BASELINE.md north star: full cartpole-with-friction
+iLQR solves/s (reference configuration T=51, friction 0.35). The round-1
+TPU backend intermittently faults on large fused solver programs
+(docs/DESIGN.md §6), so this harness tries variants in order, each in an
+isolated subprocess (a device fault poisons the jax client):
 
-Prints exactly one JSON line.
+  1. batched full solves (vmap B=64)       — the target metric;
+  2. single full-solve latency             — same program, no vmap;
+  3. batched implicit dynamics steps       — the innermost hot op.
+
+Prints exactly one JSON line (the first variant that succeeds).
 """
 
 from __future__ import annotations
@@ -16,13 +18,33 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+HERE = os.path.dirname(os.path.abspath(__file__))
+TARGET_PER_CHIP = 1000.0 / 16.0          # north-star solves/s per chip
+STEPS_PER_SOLVE = 37000.0                # measured IP solves per full solve
+
+
+def _setup_jax():
+    import jax
+    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(HERE, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+    return jax, on_tpu
 
 
 def _build(on_tpu: bool, dtype):
+    import jax.numpy as jnp
+
     from optimization_dynamics_tpu.dynamics import make_implicit_dynamics
     from optimization_dynamics_tpu.examples import cartpole as ex
     from optimization_dynamics_tpu.models import cartpole
@@ -30,7 +52,6 @@ def _build(on_tpu: bool, dtype):
 
     prob, x0, us0, opts = ex.build_problem("friction", dtype=dtype)
     if on_tpu:
-        # f32-friendly tolerances: residual floor ~3e-5, same kappa design
         model = cartpole.friction_model()
         aux = cartpole.CartpoleAux(
             h=ex.H, friction=jnp.asarray([0.35, 0.35], dtype))
@@ -45,40 +66,47 @@ def _build(on_tpu: bool, dtype):
             dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
             dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
             carry_init=dyn.carry_init)
-        # parallel_linesearch is off on TPU: its vmap-of-rollout pattern
-        # currently trips a runtime fault on this backend (docs/DESIGN.md §6)
-        opts = dataclasses.replace(
-            opts, con_tol=0.01, parallel_riccati=True)
+        opts = dataclasses.replace(opts, con_tol=0.01)
     return prob, x0, us0, opts
 
 
-def main():
-    on_tpu = jax.default_backend() != "cpu"
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
-    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
-
+def variant_batched(B: int = 64):
+    jax, on_tpu = _setup_jax()
+    import jax.numpy as jnp
     from optimization_dynamics_tpu.solver.ilqr import solve
-
     dtype = jnp.float32 if on_tpu else jnp.float64
     prob, x0, us0, opts = _build(on_tpu, dtype)
+    if not on_tpu:
+        B = 8
+    key = jax.random.PRNGKey(0)
+    x0s = (jnp.tile(x0.astype(dtype), (B, 1))
+           + 0.01 * jax.random.normal(key, (B, 4), dtype))
+    run = jax.jit(jax.vmap(lambda x: solve(prob, x, us0.astype(dtype),
+                                           opts)))
+    res = run(x0s)
+    jax.block_until_ready(res.xs)
+    t0 = time.perf_counter()
+    res = run(x0s)
+    jax.block_until_ready(res.xs)
+    dt = time.perf_counter() - t0
+    v = B / dt
+    return {
+        "metric": ("cartpole-friction full iLQR solves/s "
+                   "(1 chip, batch %d, %d/%d converged)"
+                   % (B, int(jnp.sum(res.converged)), B)),
+        "value": round(v, 3), "unit": "solves/s",
+        "vs_baseline": round(v / TARGET_PER_CHIP, 4),
+    }
 
-    def solve_one(x0_i):
-        return solve(prob, x0_i, us0.astype(dtype), opts)
 
-    # NOTE: vmapped full-solve programs currently fault on this TPU
-    # backend (vmap x scan x while_loop pattern; single solves and every
-    # building block pass — docs/DESIGN.md §6), so the round-1 headline
-    # is single-solve latency. Scenario throughput via batching is the
-    # next-round target once the backend issue is resolved.
-    run = jax.jit(solve_one)
-    res = run(x0.astype(dtype))              # compile + warmup
+def variant_single():
+    jax, on_tpu = _setup_jax()
+    import jax.numpy as jnp
+    from optimization_dynamics_tpu.solver.ilqr import solve
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x0, us0, opts = _build(on_tpu, dtype)
+    run = jax.jit(lambda x: solve(prob, x, us0.astype(dtype), opts))
+    res = run(x0.astype(dtype))
     jax.block_until_ready(res.xs)
     runs = 3
     t0 = time.perf_counter()
@@ -86,16 +114,80 @@ def main():
         res = run(x0.astype(dtype))
         jax.block_until_ready(res.xs)
     dt = (time.perf_counter() - t0) / runs
+    v = 1.0 / dt
+    return {
+        "metric": ("cartpole-friction full iLQR solve latency, 1 chip, "
+                   "unbatched (converged=%s)" % bool(res.converged)),
+        "value": round(v, 3), "unit": "solves/s",
+        "vs_baseline": round(v / TARGET_PER_CHIP, 4),
+    }
 
-    solves_per_s = 1.0 / dt
-    target_per_chip = 1000.0 / 16.0
+
+def variant_steps(B: int = 128):
+    jax, on_tpu = _setup_jax()
+    import jax.numpy as jnp
+    from optimization_dynamics_tpu.dynamics import make_implicit_dynamics
+    from optimization_dynamics_tpu.models import planar_push as pp
+    from optimization_dynamics_tpu.solver.interior_point import IPOptions
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    r_tol = 1.0e-5 if on_tpu else 1.0e-8
+    dyn = make_implicit_dynamics(
+        pp.model(),
+        eval_opts=IPOptions(r_tol=r_tol, kappa_tol=1.0e-3, max_iter=30),
+        grad_opts=IPOptions(r_tol=r_tol, kappa_tol=1.0e-2, max_iter=30))
+    aux = pp.PlanarPushAux(h=0.1)
+    q = jnp.array([0.0, 0.0, 0.0, -pp.R_DIM - 1e-6, 0.0], dtype)
+    xs = jnp.tile(jnp.concatenate([q, q]), (B, 1))
+    us = jnp.tile(jnp.array([1.0, 0.1], dtype), (B, 1))
+    run = jax.jit(jax.vmap(lambda x, u: dyn.step(x, u, aux)))
+    out = run(xs, us)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = run(xs, us)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 5
+    v = B / dt
+    # express as equivalent solves/s for vs_baseline comparability
+    return {
+        "metric": ("contact-implicit dynamics steps/s, planar push nz=35 "
+                   "(1 chip, batch %d) [fallback: full-solve programs "
+                   "fault on this backend]" % B),
+        "value": round(v, 1), "unit": "steps/s",
+        "vs_baseline": round((v / STEPS_PER_SOLVE) / TARGET_PER_CHIP, 6),
+    }
+
+
+VARIANTS = ["batched", "single", "steps"]
+
+
+def main():
+    if len(sys.argv) > 1:          # worker mode
+        name = sys.argv[1]
+        fn = {"batched": variant_batched, "single": variant_single,
+              "steps": variant_steps}[name]
+        print(json.dumps(fn()))
+        return
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
+    last = None
+    for name in VARIANTS:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                capture_output=True, text=True, timeout=3600, env=env)
+            for line in out.stdout.strip().splitlines()[::-1]:
+                line = line.strip()
+                if line.startswith("{"):
+                    print(line)
+                    return
+            last = out.stderr[-300:]
+        except subprocess.TimeoutExpired:
+            last = f"variant {name} timed out"
     print(json.dumps({
-        "metric": ("cartpole-friction full iLQR solve latency, 1 chip "
-                   "(converged=%s, obj=%.2f)"
-                   % (bool(res.converged), float(res.objective))),
-        "value": round(solves_per_s, 3),
-        "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / target_per_chip, 4),
+        "metric": "benchmark failed on all variants: %s" % (last or ""),
+        "value": 0.0, "unit": "solves/s", "vs_baseline": 0.0,
     }))
 
 

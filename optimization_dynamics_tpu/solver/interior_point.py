@@ -34,11 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from optimization_dynamics_tpu.ops.cones import (
-    ConeSpec,
-    interior_init,
-    step_to_boundary,
-)
+from optimization_dynamics_tpu.ops.cones import ConeSpec, step_to_boundary
 from optimization_dynamics_tpu.ops.linalg import newton_solve
 
 __all__ = ["IPOptions", "IPSolution", "make_solver", "make_sensitivity"]
@@ -81,6 +77,24 @@ class IPSolution(NamedTuple):
     converged: jnp.ndarray
     r_vio: jnp.ndarray
     kappa_vio: jnp.ndarray
+
+
+def _cone_reset(spec: ConeSpec, dtype):
+    """(mask, template) for a branch-free cone-variable reset:
+    ``z_reset = where(mask, template, z)``. Mirrors ``interior_init`` but
+    as pure elementwise ops (no scatters inside the solver loop)."""
+    mask = np.zeros(spec.nz, bool)
+    template = np.zeros(spec.nz)
+    for i in list(spec.ort_prim) + list(spec.ort_dual):
+        mask[i] = True
+        template[i] = 1.0
+    for grp in list(spec.soc_prim) + list(spec.soc_dual):
+        mask[grp[0]] = True
+        template[grp[0]] = 1.0
+        for i in grp[1:]:
+            mask[i] = True
+            template[i] = 0.1
+    return jnp.asarray(mask), jnp.asarray(template, dtype)
 
 
 def _row_masks(spec: ConeSpec, dtype):
@@ -199,7 +213,8 @@ def make_solver(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
             if has_cones:
                 do_reinit = jnp.logical_and(stalled_new,
                                             jnp.logical_not(reinit_used))
-                z_reinit = interior_init(spec, z_new)
+                reset_mask, reset_tmpl = _cone_reset(spec, dtype)
+                z_reinit = jnp.where(reset_mask, reset_tmpl, z_new)
                 z_new = jnp.where(do_reinit, z_reinit, z_new)
                 stalled_new = jnp.logical_and(stalled_new, reinit_used)
                 reinit_used = jnp.logical_or(reinit_used, do_reinit)
