@@ -63,8 +63,6 @@ def build_problem(mode: str = "impact", kappa_grad: float = 1.0e-3,
         terminal_con=lambda x: x - xT,
         dynamics_ws=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
         ws_init=lambda t, x, u: dyn.carry_init(x),
-        dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
-        carry_init=dyn.carry_init,
     )
 
     opts = ILQROptions(

@@ -96,8 +96,6 @@ def build_problem(mode: str = "rotate", gradient_bundle: bool = False,
         ineq_mask=jnp.ones((T - 1, 2 * NU), bool),
         dynamics_ws=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
         ws_init=lambda t, x, u: dyn.carry_init(x),
-        dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
-        carry_init=dyn.carry_init,
     )
 
     opts = ILQROptions(

@@ -55,10 +55,10 @@ def make_solver(dtype=jnp.float64):
             stage_cost=lambda t, x, u: u @ u,
             terminal_cost=lambda x: (x - xT) @ (x - xT),
             terminal_con=lambda x: x - xT,
+            # ws only: adding the open-loop carry variant too doubles the
+            # number of traced solver-body copies and compile time
             dynamics_ws=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
             ws_init=lambda t, x, u: dyn.carry_init(x),
-            dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
-            carry_init=dyn.carry_init,
         )
         opts = ILQROptions(max_iter=100, max_al_iter=20, con_tol=0.005)
         us0 = jnp.zeros((T - 1, 1), dtype).at[0, 0].set(-1.5)
