@@ -99,6 +99,9 @@ def main():
           float(jnp.max(jnp.abs(res.xs[-1] -
                                 jnp.array([np.pi, 0, np.pi, 0])))))
     print("converged:", bool(res.converged))
+    from optimization_dynamics_tpu.dynamics import state_to_configuration
+    from optimization_dynamics_tpu.utils.viz import maybe_visualize
+    maybe_visualize("acrobot", state_to_configuration(res.xs), dt=H)
 
 
 if __name__ == "__main__":

@@ -99,5 +99,11 @@ def main():
               f"{float(np.max(np.abs(np.asarray(res.xs[-1]) - xT))):.2e}")
 
 
+def visualize_solution(res):
+    from optimization_dynamics_tpu.dynamics import state_to_configuration
+    from optimization_dynamics_tpu.utils.viz import maybe_visualize
+    return maybe_visualize("cartpole", state_to_configuration(res.xs), dt=H)
+
+
 if __name__ == "__main__":
     main()

@@ -18,8 +18,22 @@ import numpy as np
 
 __all__ = [
     "frame_cartpole", "frame_acrobot", "frame_planar_push", "frame_hopper",
-    "frame_rocket", "animate_html", "plot_trajectory",
+    "frame_rocket", "animate_html", "plot_trajectory", "visualize",
 ]
+
+_FRAMES = {}
+
+
+def visualize(model_name: str, qs, path: str, dt: float = 0.05):
+    """Per-model animation export — the build's ``visualize!``
+    (/root/reference/src/models/*/visuals.jl). ``model_name`` in
+    {cartpole, acrobot, planar_push, hopper, rocket}; writes a
+    self-contained HTML player plus a PNG overlay next to it."""
+    frame_fn = _FRAMES[model_name]
+    html = animate_html(qs, frame_fn, path, dt=dt, title=model_name)
+    png = path.rsplit(".", 1)[0] + ".png"
+    plot_trajectory(qs, frame_fn, png, stride=max(len(qs) // 20, 1))
+    return html, png
 
 
 def frame_cartpole(q, length=0.5):
@@ -63,6 +77,16 @@ def frame_rocket(x, length=1.0):
     bot = x[0:3] - R @ np.array([0.0, 0.0, 0.5 * length])
     # project to (x, z)
     return [[(bot[0], bot[2]), (top[0], top[2])]]
+
+
+def _register():
+    _FRAMES.update({
+        "cartpole": frame_cartpole,
+        "acrobot": frame_acrobot,
+        "planar_push": frame_planar_push,
+        "hopper": frame_hopper,
+        "rocket": frame_rocket,
+    })
 
 
 def plot_trajectory(qs, frame_fn: Callable, path: str, stride: int = 1):
@@ -135,3 +159,17 @@ draw(0);
     with open(path, "w") as f:
         f.write(html)
     return path
+
+
+_register()
+
+
+def maybe_visualize(model_name: str, qs, dt: float = 0.05):
+    """Write animations when ODX_VIZ_DIR is set (used by example mains)."""
+    import os
+    d = os.environ.get("ODX_VIZ_DIR")
+    if not d:
+        return None
+    os.makedirs(d, exist_ok=True)
+    return visualize(model_name, qs,
+                     os.path.join(d, f"{model_name}.html"), dt=dt)
