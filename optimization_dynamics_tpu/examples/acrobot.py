@@ -58,6 +58,8 @@ def build_problem(mode: str = "impact", kappa_grad: float = 1.0e-3,
         T=T, nx=NX, nu=NU, ncon=0, nconT=NX,
         dynamics=lambda t, x, u: dyn.step(x, u, aux),
         dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us, aux),
         stage_cost=stage_cost,
         terminal_cost=terminal_cost,
         terminal_con=lambda x: x - xT,

@@ -54,6 +54,8 @@ def build_problem(mode: str = "friction", friction=(0.35, 0.35),
         T=T, nx=NX, nu=NU, ncon=0, nconT=NX,
         dynamics=lambda t, x, u: dyn.step(x, u, aux),
         dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us, aux),
         stage_cost=stage_cost,
         terminal_cost=terminal_cost,
         terminal_con=lambda x: x - xT,

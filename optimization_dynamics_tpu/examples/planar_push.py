@@ -89,6 +89,9 @@ def build_problem(mode: str = "rotate", gradient_bundle: bool = False,
         T=T, nx=NX, nu=NU, ncon=2 * NU, nconT=6,
         dynamics=lambda t, x, u: dyn.step(x, u, aux),
         dynamics_jac=dynamics_jac,
+        dynamics_jac_batched=(
+            None if gradient_bundle
+            else lambda ts, xs, us: dyn.step_jac_batched(xs, us, aux)),
         stage_cost=stage_cost,
         terminal_cost=terminal_cost,
         stage_con=stage_con,

@@ -102,6 +102,10 @@ class ILQRProblem(NamedTuple):
     # different complementarity branches and derail the solve)
     dynamics_ws: Optional[Callable] = None   # (t, x, u, ws_t) -> (y, ws_t')
     ws_init: Optional[Callable] = None       # (t, x, u) -> ws_t
+    # batched derivative sweep: (ts, xs, us) -> (ys, fxs, fus) in one call
+    # (e.g. ImplicitDynamics.step_jac_batched — one masked while_loop over
+    # the whole horizon instead of vmap-of-while)
+    dynamics_jac_batched: Optional[Callable] = None
     # open-loop rollout may thread cross-time carry (safe there: states
     # change slowly along a single rollout)
     dynamics_carry: Optional[Callable] = None    # (t, x, u, c) -> (y, c)
@@ -421,7 +425,10 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
         round), matching the reference's per-round ``max_iter``."""
 
         def derivatives(xs, us):
-            ys, fxs, fus = jax.vmap(prob.dynamics_jac)(ts, xs[:-1], us)
+            if prob.dynamics_jac_batched is not None:
+                ys, fxs, fus = prob.dynamics_jac_batched(ts, xs[:-1], us)
+            else:
+                ys, fxs, fus = jax.vmap(prob.dynamics_jac)(ts, xs[:-1], us)
             del ys
             lxs, lus, lxxs, luus, luxs = jax.vmap(
                 stage_exp, in_axes=(0, 0, 0, 0, None))(

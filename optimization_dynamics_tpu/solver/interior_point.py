@@ -37,7 +37,8 @@ import numpy as np
 from optimization_dynamics_tpu.ops.cones import ConeSpec, step_to_boundary
 from optimization_dynamics_tpu.ops.linalg import newton_solve
 
-__all__ = ["IPOptions", "IPSolution", "make_solver", "make_sensitivity"]
+__all__ = ["IPOptions", "IPSolution", "make_solver", "make_solver_batched",
+           "make_sensitivity"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -238,6 +239,146 @@ def make_solver(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
         z, kappa, r0, it, _, _ = jax.lax.while_loop(cond, body, init)
         rv, kv = vio(r0)
         return IPSolution(z=z, iterations=it, converged=converged(r0),
+                          r_vio=rv, kappa_vio=kv)
+
+    return solve
+
+
+def make_solver_batched(residual_fn: Callable, spec: ConeSpec,
+                        opts: IPOptions,
+                        jacobian_fn: Callable | None = None) -> Callable:
+    """Batched-native variant of ``make_solver``.
+
+    ``solve(z0s (B, nz), thetas (B, ntheta)) -> IPSolution`` with batched
+    fields. One ``lax.while_loop`` over the whole batch with per-lane
+    convergence masking (the SURVEY build-plan's "batched early-exit via
+    masking") instead of ``vmap``-of-``while_loop``: all per-lane math is
+    plain vectorized ops, converged lanes freeze, the loop runs until
+    every lane is done. Semantically identical to ``vmap(make_solver(...))``
+    (tested); structurally friendlier to the TPU compiler and cheaper to
+    trace (one solver body regardless of batch width).
+    """
+    spec.validate()
+    if jacobian_fn is None:
+        jacobian_fn = jax.jacfwd(lambda z, th: residual_fn(z, th, 0.0))
+
+    has_cones = bool(spec.ort_prim) or bool(spec.soc_prim)
+    kappa_final = opts.kappa_final_frac * opts.kappa_tol
+    ls_exps = jnp.arange(opts.max_ls)
+
+    res_v = jax.vmap(residual_fn, in_axes=(0, 0, None))
+    jac_v = jax.vmap(jacobian_fn)
+    boundary_v = jax.vmap(lambda z, d: step_to_boundary(spec, z, d, tau=1.0))
+
+    def solve(z0s: jnp.ndarray, thetas: jnp.ndarray) -> IPSolution:
+        dtype = z0s.dtype
+        B = z0s.shape[0]
+        eq_mask, bil_mask, head_mask = _row_masks(spec, dtype)
+        reset_mask, reset_tmpl = _cone_reset(spec, dtype)
+
+        def vio(r0s):
+            rv = jnp.max(jnp.abs(r0s) * eq_mask, axis=1)
+            kv = (jnp.max(jnp.abs(r0s) * bil_mask, axis=1)
+                  if has_cones else jnp.zeros(B, dtype))
+            return rv, kv
+
+        def merit(r0s, kappas):
+            return jnp.max(jnp.abs(r0s - kappas[:, None] * head_mask),
+                           axis=1)
+
+        def converged(r0s):
+            return merit(r0s, jnp.full((B,), kappa_final, dtype)) \
+                < opts.r_tol
+
+        r0s = res_v(z0s, thetas, 0.0)
+        rv0, kv0 = vio(r0s)
+        if has_cones:
+            kappa_lo = max(kappa_final, opts.kappa_init_min)
+            kappas0 = jnp.clip(kv0, kappa_lo, opts.kappa_init_max)
+        else:
+            kappas0 = jnp.full((B,), kappa_final, dtype)
+
+        def active_lanes(r0s, its, stalled):
+            return jnp.logical_not(
+                jnp.logical_or(converged(r0s),
+                               jnp.logical_or(stalled,
+                                              its >= opts.max_iter)))
+
+        def cond(state):
+            zs, kappas, r0s, its, stalled, reinit = state
+            return jnp.any(active_lanes(r0s, its, stalled))
+
+        def body(state):
+            zs, kappas, r0s, its, stalled, reinit = state
+            active = active_lanes(r0s, its, stalled)
+            r_k = r0s - kappas[:, None] * head_mask
+            merit_cur = jnp.max(jnp.abs(r_k), axis=1)
+
+            Js = jac_v(zs, thetas)
+            if opts.gamma_reg > 0.0:
+                Js = Js + (opts.gamma_reg * kappas)[:, None, None] \
+                    * jnp.eye(spec.nz, dtype=dtype)[None]
+            deltas = jnp.linalg.solve(Js, r_k[..., None])[..., 0]
+
+            taus = jnp.clip(1.0 - merit_cur, opts.tau_min, opts.tau_max)
+            alpha0 = jnp.minimum(boundary_v(zs, deltas) * taus, 1.0)
+
+            alphas = alpha0[:, None] * (0.5 ** ls_exps)[None, :].astype(dtype)
+            # (B, L, nz) candidates -> merits
+            zc = zs[:, None, :] - alphas[..., None] * deltas[:, None, :]
+            rc = jax.vmap(lambda zrow, th: jax.vmap(
+                lambda z: residual_fn(z, th, 0.0))(zrow))(zc, thetas)
+            mc = jnp.max(jnp.abs(rc - kappas[:, None, None] * head_mask),
+                         axis=2)
+            improves = mc < merit_cur[:, None]
+            any_improve = jnp.any(improves, axis=1)
+            first = jnp.argmax(improves, axis=1)
+            best = jnp.argmin(mc, axis=1)
+            pick = jnp.where(any_improve, first, best)
+            sel = jnp.arange(B)
+            alpha = alphas[sel, pick]
+            new_merit = mc[sel, pick]
+            stalled_new = jnp.logical_not(any_improve)
+
+            zs_new = zs - alpha[:, None] * deltas
+            centered = new_merit < jnp.maximum(
+                opts.center_frac * kappas, opts.r_tol)
+            kappas_new = jnp.where(
+                centered,
+                jnp.maximum(kappas * opts.kappa_scale, kappa_final),
+                kappas)
+
+            if has_cones:
+                do_reinit = jnp.logical_and(stalled_new,
+                                            jnp.logical_not(reinit))
+                z_reset = jnp.where(reset_mask[None], reset_tmpl[None],
+                                    zs_new)
+                zs_new = jnp.where(do_reinit[:, None], z_reset, zs_new)
+                stalled_new = jnp.logical_and(stalled_new, reinit)
+                reinit = jnp.logical_or(reinit, do_reinit)
+
+            # freeze inactive lanes
+            zs_new = jnp.where(active[:, None], zs_new, zs)
+            kappas_new = jnp.where(active, kappas_new, kappas)
+            stalled = jnp.where(active, stalled_new, stalled)
+
+            r0s_new = res_v(zs_new, thetas, 0.0)
+            if has_cones:
+                _, kv_new = vio(r0s_new)
+                kappas_new = jnp.where(
+                    jnp.logical_and(active, do_reinit),
+                    jnp.clip(kv_new, max(kappa_final, opts.kappa_init_min),
+                             opts.kappa_init_max),
+                    kappas_new)
+            its = its + active.astype(jnp.int32)
+            return (zs_new, kappas_new, r0s_new, its, stalled, reinit)
+
+        state = (z0s, kappas0.astype(dtype), r0s,
+                 jnp.zeros(B, jnp.int32),
+                 jnp.zeros(B, bool), jnp.zeros(B, bool))
+        zs, kappas, r0s, its, _, _ = jax.lax.while_loop(cond, body, state)
+        rv, kv = vio(r0s)
+        return IPSolution(z=zs, iterations=its, converged=converged(r0s),
                           r_vio=rv, kappa_vio=kv)
 
     return solve
