@@ -85,6 +85,7 @@ class ImplicitDynamics:
     step: Callable
     step_info: Callable
     step_jac: Callable
+    step_batched: Callable      # (xs, us, aux) -> ys (lane-batched eval)
     step_jac_batched: Callable  # (xs, us, aux) -> (ys, fxs, fus)
     step_diff: Callable   # custom_vjp-wrapped step for generic autodiff
     step_carry: Callable  # (z_prev, x, u, aux) -> (y, z): warm-started
@@ -154,6 +155,19 @@ def make_implicit_dynamics(
             [jnp.zeros((nq, dq_du.shape[1]), dtype=x.dtype), dq_du], axis=0)
         return y, fx, fu
 
+    eval_solve_batched = make_solver_batched(model.residual, model.spec,
+                                             eval_opts)
+
+    def step_batched(xs, us, aux):
+        """Lane-batched eval step through the batched-native solver."""
+        q0s = xs[:, :nq]
+        q1s = xs[:, nq:2 * nq]
+        thetas = jax.vmap(lambda q0, q1, u: model.theta_fn(q0, q1, u, aux))(
+            q0s, q1s, us)
+        z0s = jax.vmap(model.init_z)(q1s)
+        sols = eval_solve_batched(z0s, thetas)
+        return jnp.concatenate([q1s, sols.z[:, q_sel]], axis=1)
+
     def step_jac_batched(xs, us, aux):
         """Whole-trajectory Jacobian sweep via the batched-native solver:
         one masked while_loop for all timesteps instead of
@@ -213,6 +227,7 @@ def make_implicit_dynamics(
         step=step,
         step_info=step_info,
         step_jac=step_jac,
+        step_batched=step_batched,
         step_jac_batched=step_jac_batched,
         step_diff=step_diff,
         step_carry=step_carry,

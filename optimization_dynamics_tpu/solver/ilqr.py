@@ -106,6 +106,9 @@ class ILQRProblem(NamedTuple):
     # (e.g. ImplicitDynamics.step_jac_batched — one masked while_loop over
     # the whole horizon instead of vmap-of-while)
     dynamics_jac_batched: Optional[Callable] = None
+    # lane-batched forward dynamics (t, xs (B, nx), us (B, nu)) -> ys,
+    # required by solver.ilqr_batched.solve_batched
+    dynamics_batched: Optional[Callable] = None
     # open-loop rollout may thread cross-time carry (safe there: states
     # change slowly along a single rollout)
     dynamics_carry: Optional[Callable] = None    # (t, x, u, c) -> (y, c)

@@ -1,0 +1,336 @@
+"""Batched-native AL-iLQR: lockstep scenario batches, no vmap-of-while.
+
+``solve_batched`` runs B scenario solves as ONE program whose loops are
+shared and whose state is lane-masked (the same design as
+``make_solver_batched``): every ``while_loop`` advances all unconverged
+lanes together, converged lanes freeze, and the embedded interior-point
+solves run through the batched-native solver (scan-of-batched-while, no
+``vmap`` around any ``while_loop``). The line search evaluates the whole
+(lane x alpha) grid as one batched rollout and picks per-lane step sizes.
+
+Trade-offs vs ``vmap(solve)``: iteration scheduling is lockstep (a slow
+lane extends wall time for the batch — same as vmap), and per-lane
+solutions are identical to the scalar solver up to line-search tie-breaks.
+Structurally this compiles one solver body regardless of batch width and
+avoids the vmap-of-while pattern entirely (docs/DESIGN.md §6).
+
+Requires ``prob.dynamics_batched`` ((t, xs, us) -> ys) and
+``prob.dynamics_jac_batched``; cost/constraint callables are the scalar
+ones (vmapped internally — they contain no control flow).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from optimization_dynamics_tpu.solver.ilqr import (
+    ILQROptions,
+    ILQRProblem,
+    ILQRResult,
+    _make_al_costs,
+    _al_multiplier,
+    _violation,
+)
+
+__all__ = ["solve_batched"]
+
+
+def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
+                  us_init: jnp.ndarray,
+                  opts: ILQROptions = ILQROptions()) -> ILQRResult:
+    """x0s: (B, nx); us_init: (B, T-1, nu) or (T-1, nu) shared."""
+    assert prob.dynamics_batched is not None, "needs dynamics_batched"
+    T, nx, nu = prob.T, prob.nx, prob.nu
+    ncon, nconT = prob.ncon, prob.nconT
+    dtype = x0s.dtype
+    B = x0s.shape[0]
+    ts = jnp.arange(T - 1)
+    if us_init.ndim == 2:
+        us_init = jnp.broadcast_to(us_init[None], (B, T - 1, nu))
+
+    prob = prob._replace(
+        ineq_mask=(jnp.zeros((T - 1, max(ncon, 1)), bool)
+                   if prob.ineq_mask is None else prob.ineq_mask),
+        terminal_ineq_mask=(jnp.zeros(max(nconT, 1), bool)
+                            if prob.terminal_ineq_mask is None
+                            else prob.terminal_ineq_mask),
+        u_mask=(jnp.ones((T - 1, nu), bool)
+                if prob.u_mask is None else prob.u_mask),
+    )
+    stage_al, terminal_al, stage_exp, terminal_exp = _make_al_costs(prob)
+
+    stage_al_v = jax.vmap(stage_al, in_axes=(None, 0, 0, 0, 0))
+    terminal_al_v = jax.vmap(terminal_al, in_axes=(0, 0, 0))
+
+    def rollout_open(x0s, uss):
+        def f(xs, tu):
+            t, us = tu
+            ys = prob.dynamics_batched(t, xs, us)
+            return ys, ys
+
+        _, yss = jax.lax.scan(f, x0s, (ts, jnp.swapaxes(uss, 0, 1)))
+        return jnp.concatenate([x0s[:, None], jnp.swapaxes(yss, 0, 1)],
+                               axis=1)
+
+    def traj_cost(xss, uss, lams, lamTs, rhos):
+        def per_t(t):
+            return stage_al_v(t, xss[:, t], uss[:, t], lams[:, t], rhos)
+        Js = jax.vmap(per_t)(ts)                 # (T-1, B)
+        return jnp.sum(Js, axis=0) + terminal_al_v(xss[:, -1], lamTs, rhos)
+
+    def closed_loop(xss_ref, uss_ref, Kss, kss, alphas, lams, lamTs, rhos):
+        """alphas: (B,). Returns xss, uss, Js."""
+        def f(carry, inp):
+            xs, Js = carry
+            t, xs_ref_t, us_ref_t, Ks_t, ks_t = inp
+            us = (us_ref_t + alphas[:, None] * ks_t
+                  + jnp.einsum("bij,bj->bi", Ks_t, xs - xs_ref_t))
+            us = jnp.where(prob.u_mask[t][None], us, us_ref_t)
+            Js = Js + stage_al_v(t, xs, us, lams[:, t], rhos)
+            ys = prob.dynamics_batched(t, xs, us)
+            return (ys, Js), (xs, us)
+
+        (xTs, Js), (xss, uss) = jax.lax.scan(
+            f, (xss_ref[:, 0], jnp.zeros(xss_ref.shape[0], dtype)),
+            (ts, jnp.swapaxes(xss_ref[:, :-1], 0, 1),
+             jnp.swapaxes(uss_ref, 0, 1),
+             jnp.swapaxes(Kss, 0, 1), jnp.swapaxes(kss, 0, 1)))
+        Js = Js + terminal_al_v(xTs, lamTs, rhos)
+        xss = jnp.concatenate(
+            [jnp.swapaxes(xss, 0, 1), xTs[:, None]], axis=1)
+        return xss, jnp.swapaxes(uss, 0, 1), Js
+
+    def derivatives(xss, uss, lams, lamTs, rhos):
+        flat_x = xss[:, :-1].reshape(B * (T - 1), nx)
+        flat_u = uss.reshape(B * (T - 1), nu)
+        flat_t = jnp.tile(ts, B)
+        if prob.dynamics_jac_batched is not None:
+            _, fxs, fus = prob.dynamics_jac_batched(flat_t, flat_x, flat_u)
+        else:
+            _, fxs, fus = jax.vmap(prob.dynamics_jac)(flat_t, flat_x,
+                                                      flat_u)
+        fxs = fxs.reshape(B, T - 1, nx, nx)
+        fus = fus.reshape(B, T - 1, nx, nu)
+
+        def exp_t(t):
+            return jax.vmap(stage_exp, in_axes=(None, 0, 0, 0, 0))(
+                t, xss[:, t], uss[:, t], lams[:, t], rhos)
+        lxs, lus, lxxs, luus, luxs = jax.vmap(exp_t)(ts)
+        # (T-1, B, ...) -> (B, T-1, ...)
+        sw = lambda a: jnp.swapaxes(a, 0, 1)
+        gTs, HTs = jax.vmap(terminal_exp)(xss[:, -1], lamTs, rhos)
+        return (fxs, fus, sw(lxs), sw(lus), sw(lxxs), sw(luus), sw(luxs),
+                gTs, HTs)
+
+    def backward(fxs, fus, lxs, lus, lxxs, luus, luxs, gTs, HTs, regs):
+        """Per-lane Riccati via one reverse scan over batched tensors."""
+        def step(carry, inp):
+            Vx, Vxx = carry                       # (B, nx), (B, nx, nx)
+            t, fx, fu, lx, lu, lxx, luu, lux = inp
+            Qx = lx + jnp.einsum("bji,bj->bi", fx, Vx)
+            Qu = lu + jnp.einsum("bji,bj->bi", fu, Vx)
+            VF = jnp.einsum("bij,bjk->bik", Vxx, fx)
+            Qxx = lxx + jnp.einsum("bji,bjk->bik", fx, VF)
+            VFu = jnp.einsum("bij,bjk->bik", Vxx, fu)
+            Quu = luu + jnp.einsum("bji,bjk->bik", fu, VFu)
+            Qux = lux + jnp.einsum("bji,bjk->bik", fu, VF)
+
+            m = prob.u_mask[t]
+            Qu = jnp.where(m[None], Qu, 0.0)
+            Qux = jnp.where(m[None, :, None], Qux, 0.0)
+            mm = jnp.outer(m, m)[None]
+            Quu = jnp.where(mm, Quu, 0.0) + jax.vmap(jnp.diag)(
+                jnp.where(m[None], regs[:, None], 1.0))
+
+            chol = jnp.linalg.cholesky(Quu)
+            ok = jnp.all(jnp.isfinite(chol), axis=(1, 2))
+            rhs = jnp.concatenate([Qu[..., None], Qux], axis=2)
+            sol = jax.vmap(
+                lambda c, r: jax.scipy.linalg.cho_solve((c, True), r))(
+                    chol, rhs)
+            k = -sol[:, :, 0]
+            K = -sol[:, :, 1:]
+
+            Vx_new = (Qx + jnp.einsum("bji,bj->bi", K, Qu)
+                      + jnp.einsum("bji,bj->bi", Qux, k)
+                      + jnp.einsum("bji,bjk,bk->bi", K, Quu, k))
+            KQ = jnp.einsum("bji,bjk->bik", K, Qux)
+            Vxx_new = (Qxx + KQ + jnp.swapaxes(KQ, 1, 2)
+                       + jnp.einsum("bji,bjk,bkl->bil", K, Quu, K))
+            Vxx_new = 0.5 * (Vxx_new + jnp.swapaxes(Vxx_new, 1, 2))
+            dV1 = jnp.einsum("bi,bi->b", k, Qu)
+            dV2 = 0.5 * jnp.einsum("bi,bij,bj->b", k, Quu, k)
+            qu_inf = jnp.max(jnp.abs(Qu), axis=1)
+            return (Vx_new, Vxx_new), (K, k, dV1, dV2, qu_inf, ok)
+
+        (_, _), (Ks, ks, dV1s, dV2s, qu_infs, oks) = jax.lax.scan(
+            step, (gTs, HTs),
+            (ts, jnp.swapaxes(fxs, 0, 1), jnp.swapaxes(fus, 0, 1),
+             jnp.swapaxes(lxs, 0, 1), jnp.swapaxes(lus, 0, 1),
+             jnp.swapaxes(lxxs, 0, 1), jnp.swapaxes(luus, 0, 1),
+             jnp.swapaxes(luxs, 0, 1)),
+            reverse=True)
+        sw = lambda a: jnp.swapaxes(a, 0, 1)
+        return (sw(Ks), sw(ks), jnp.sum(dV1s, axis=0),
+                jnp.sum(dV2s, axis=0), jnp.max(qu_infs, axis=0),
+                jnp.all(oks, axis=0))
+
+    n_alpha = int(math.ceil(math.log2(1.0 / opts.alpha_min))) + 1
+    alpha_grid = (0.5 ** jnp.arange(n_alpha)).astype(dtype)
+
+    def line_search(xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos):
+        """(lane x alpha) grid as one batched rollout of B*A lanes."""
+        A = n_alpha
+        rep = lambda a: jnp.repeat(a, A, axis=0)
+        alphas_flat = jnp.tile(alpha_grid, B)           # (B*A,)
+        xss_c, uss_c, Js_c = closed_loop(
+            rep(xss), rep(uss), rep(Kss), rep(kss), alphas_flat,
+            rep(lams), rep(lamTs), rep(rhos))
+        Js_c = Js_c.reshape(B, A)
+        expected = (alpha_grid[None] * dV1[:, None]
+                    + alpha_grid[None] ** 2 * dV2[:, None])
+        ok = jnp.logical_and(
+            jnp.isfinite(Js_c),
+            Js_c <= Js[:, None]
+            + opts.armijo_c1 * jnp.minimum(expected, 0.0))
+        accepted = jnp.any(ok, axis=1)
+        pick = jnp.argmax(ok, axis=1)
+        sel = jnp.arange(B) * A + pick
+        return (xss_c[sel], uss_c[sel], Js_c[jnp.arange(B), pick],
+                accepted)
+
+    def inner(xss, uss, lams, lamTs, rhos, act_al):
+        def cond(s):
+            xss, uss, Js, regs, it, done = s
+            return jnp.any(jnp.logical_and(
+                jnp.logical_not(done), it < opts.max_iter))
+
+        def body(s):
+            xss, uss, Js, regs, it, done = s
+            active = jnp.logical_and(jnp.logical_not(done),
+                                     jnp.logical_and(act_al,
+                                                     it < opts.max_iter))
+            d = derivatives(xss, uss, lams, lamTs, rhos)
+            Kss, kss, dV1, dV2, qu_inf, bp_ok = backward(*d, regs)
+            xss_n, uss_n, Js_n, accepted = line_search(
+                xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos)
+            ls_failed = jnp.logical_not(jnp.logical_and(accepted, bp_ok))
+            regs_n = jnp.where(
+                ls_failed,
+                jnp.minimum(regs * opts.reg_up, opts.reg_max),
+                jnp.maximum(regs * opts.reg_down, opts.reg_min))
+            keep = jnp.logical_or(ls_failed, jnp.logical_not(active))
+            xss_n = jnp.where(keep[:, None, None], xss, xss_n)
+            uss_n = jnp.where(keep[:, None, None], uss, uss_n)
+            Js_n = jnp.where(keep, Js, Js_n)
+            regs_n = jnp.where(active, regs_n, regs)
+
+            grad_small = qu_inf < opts.grad_tol
+            obj_small = jnp.abs(Js - Js_n) < opts.obj_tol
+            reg_capped = regs_n >= opts.reg_max
+            done_n = jnp.logical_or(done, jnp.logical_or(
+                grad_small,
+                jnp.logical_or(jnp.logical_and(accepted, obj_small),
+                               jnp.logical_and(ls_failed, reg_capped))))
+            it_n = it + active.astype(jnp.int32)
+            return (xss_n, uss_n, Js_n, regs_n, it_n, done_n)
+
+        Js0 = traj_cost(xss, uss, lams, lamTs, rhos)
+        state = (xss, uss, Js0, jnp.full(B, opts.reg_init, dtype),
+                 jnp.zeros(B, jnp.int32),
+                 jnp.logical_not(act_al))
+        xss, uss, Js, regs, its, _ = jax.lax.while_loop(cond, body, state)
+        return xss, uss, Js, its
+
+    has_con = prob.stage_con is not None
+    has_conT = prob.terminal_con is not None
+    con_v = (jax.vmap(prob.stage_con, in_axes=(None, 0, 0))
+             if has_con else None)
+    conT_v = jax.vmap(prob.terminal_con) if has_conT else None
+
+    def con_violation(xss, uss):
+        v = jnp.zeros(B, dtype)
+        if has_con:
+            def per_t(t):
+                c = con_v(t, xss[:, t], uss[:, t])
+                return jnp.max(_violation(c, None, prob.ineq_mask[t][None]),
+                               axis=1)
+            v = jnp.maximum(v, jnp.max(jax.vmap(per_t)(ts), axis=0))
+        if has_conT:
+            cT = conT_v(xss[:, -1])
+            v = jnp.maximum(v, jnp.max(
+                _violation(cT, None, prob.terminal_ineq_mask[None]),
+                axis=1))
+        return v
+
+    def dual_update(xss, uss, lams, lamTs, rhos):
+        if has_con:
+            def per_t(t):
+                c = con_v(t, xss[:, t], uss[:, t])
+                return _al_multiplier(c, lams[:, t], rhos[:, None],
+                                      prob.ineq_mask[t][None])
+            lams = jnp.clip(jnp.swapaxes(jax.vmap(per_t)(ts), 0, 1),
+                            -opts.lambda_max, opts.lambda_max)
+        if has_conT:
+            cT = conT_v(xss[:, -1])
+            lamTs = jnp.clip(
+                _al_multiplier(cT, lamTs, rhos[:, None],
+                               prob.terminal_ineq_mask[None]),
+                -opts.lambda_max, opts.lambda_max)
+        return lams, lamTs
+
+    xss0 = rollout_open(x0s, us_init)
+    lams0 = jnp.zeros((B, T - 1, max(ncon, 1)), dtype)
+    lamTs0 = jnp.zeros((B, max(nconT, 1)), dtype)
+    rhos0 = jnp.full(B, opts.rho_init, dtype)
+
+    def al_cond(s):
+        xss, uss, lams, lamTs, rhos, its, al_it, vio = s
+        return jnp.logical_and(
+            al_it < opts.max_al_iter,
+            jnp.any(jnp.logical_not(vio < opts.con_tol)))
+
+    def al_body(s):
+        xss, uss, lams, lamTs, rhos, its, al_it, vio = s
+        act = jnp.logical_not(vio < opts.con_tol)
+        xss, uss, Js, inner_its = inner(xss, uss, lams, lamTs, rhos, act)
+        its = its + inner_its
+        vio_n = con_violation(xss, uss)
+        vio = jnp.where(act, vio_n, vio)
+        lams_n, lamTs_n = dual_update(xss, uss, lams, lamTs, rhos)
+        lams = jnp.where(act[:, None, None], lams_n, lams)
+        lamTs = jnp.where(act[:, None], lamTs_n, lamTs)
+        rhos = jnp.where(act, rhos * opts.rho_scale, rhos)
+        return (xss, uss, lams, lamTs, rhos, its, al_it + 1, vio)
+
+    state = (xss0, us_init, lams0, lamTs0, rhos0,
+             jnp.zeros(B, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.full(B, jnp.inf, dtype))
+    if has_con or has_conT:
+        xss, uss, lams, lamTs, rhos, its, al_it, vio = jax.lax.while_loop(
+            al_cond, al_body, state)
+    else:
+        act = jnp.ones(B, bool)
+        xss, uss, Js, its = inner(xss0, us_init, lams0, lamTs0, rhos0, act)
+        lams, lamTs, rhos = lams0, lamTs0, rhos0
+        al_it = jnp.asarray(1, jnp.int32)
+        vio = jnp.zeros(B, dtype)
+
+    al_obj = traj_cost(xss, uss, lams, lamTs, rhos)
+
+    def smooth_cost_one(xs, us):
+        Js = jax.vmap(prob.stage_cost)(ts, xs[:-1], us)
+        return jnp.sum(Js) + prob.terminal_cost(xs[-1])
+
+    obj = jax.vmap(smooth_cost_one)(xss, uss)
+    return ILQRResult(
+        xs=xss, us=uss, objective=obj, al_objective=al_obj,
+        iterations=its,
+        al_iterations=jnp.full(B, al_it, jnp.int32),
+        constraint_violation=vio,
+        gradient_norm=jnp.zeros(B, dtype),
+        converged=vio < opts.con_tol)
