@@ -64,16 +64,31 @@ def _build(on_tpu: bool, dtype):
         prob = prob._replace(
             dynamics=lambda t, x, u: dyn.step(x, u, aux),
             dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+            dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+                xs, us, aux),
+            dynamics_batched=lambda t, xs, us: dyn.step_batched(
+                xs, us, aux),
             dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
             carry_init=dyn.carry_init)
         opts = dataclasses.replace(opts, con_tol=0.01)
+    else:
+        from optimization_dynamics_tpu.dynamics import (
+            make_implicit_dynamics)
+        from optimization_dynamics_tpu.models import cartpole
+        aux = cartpole.CartpoleAux(
+            h=ex.H, friction=jnp.asarray([0.35, 0.35], dtype))
+        dyn = make_implicit_dynamics(cartpole.friction_model())
+        prob = prob._replace(
+            dynamics_batched=lambda t, xs, us: dyn.step_batched(
+                xs, us, aux))
     return prob, x0, us0, opts
 
 
 def variant_batched(B: int = 64):
+    """Batched-native lockstep solver (no vmap-of-while; docs/DESIGN.md)."""
     jax, on_tpu = _setup_jax()
     import jax.numpy as jnp
-    from optimization_dynamics_tpu.solver.ilqr import solve
+    from optimization_dynamics_tpu.solver.ilqr_batched import solve_batched
     dtype = jnp.float32 if on_tpu else jnp.float64
     prob, x0, us0, opts = _build(on_tpu, dtype)
     if not on_tpu:
@@ -81,8 +96,8 @@ def variant_batched(B: int = 64):
     key = jax.random.PRNGKey(0)
     x0s = (jnp.tile(x0.astype(dtype), (B, 1))
            + 0.01 * jax.random.normal(key, (B, 4), dtype))
-    run = jax.jit(jax.vmap(lambda x: solve(prob, x, us0.astype(dtype),
-                                           opts)))
+    run = jax.jit(lambda xs: solve_batched(prob, xs, us0.astype(dtype),
+                                           opts))
     res = run(x0s)
     jax.block_until_ready(res.xs)
     t0 = time.perf_counter()
