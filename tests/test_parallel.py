@@ -68,3 +68,14 @@ def test_sharded_full_ilqr_solve():
     assert bool(jnp.all(res.converged))
     np.testing.assert_allclose(np.asarray(res.xs[:, -1]),
                                np.asarray(goals), atol=1e-3)
+
+
+def test_convergence_summary():
+    from optimization_dynamics_tpu.parallel.mesh import convergence_summary
+    conv = jnp.array([True, False, True, True])
+    iters = jnp.array([10, 50, 12, 8])
+    s = convergence_summary(conv, iters)
+    assert s["n_scenarios"] == 4
+    assert s["n_converged"] == 3
+    assert abs(s["fraction_converged"] - 0.75) < 1e-6
+    assert s["max_iterations"] == 50
