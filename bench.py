@@ -191,7 +191,7 @@ def main():
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), name],
-                capture_output=True, text=True, timeout=3600, env=env)
+                capture_output=True, text=True, timeout=2700, env=env)
             for line in out.stdout.strip().splitlines()[::-1]:
                 line = line.strip()
                 if line.startswith("{"):
