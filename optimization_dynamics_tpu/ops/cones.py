@@ -29,6 +29,7 @@ import numpy as np
 __all__ = [
     "ConeSpec",
     "cone_product",
+    "delta_products",
     "soc_step_to_boundary",
     "orthant_step_to_boundary",
     "step_to_boundary",
@@ -94,6 +95,30 @@ def cone_product(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     head = jnp.sum(a * b, keepdims=True)
     tail = a[0] * b[1:] + b[0] * a[1:]
     return jnp.concatenate([head, tail])
+
+
+def delta_products(spec: "ConeSpec", d: jnp.ndarray) -> jnp.ndarray:
+    """Second-order complementarity products of a Newton direction.
+
+    Returns a ``(nz,)`` vector carrying ``Δw ∘ Δλ`` on the bilinear
+    residual rows (zeros elsewhere): the Mehrotra correction term — the
+    TPU-native equivalent of ``RoboDojo.general_correction_term!``
+    (imported at /root/reference/src/OptimizationDynamics.jl:17 and used
+    by the reference's predictor-corrector inner solver). For an update
+    ``z_new = z - α d`` the complementarity rows evolve as
+    ``w∘λ - α·lin(d) + α² Δw∘Δλ``; the corrector cancels the quadratic
+    term at α = 1.
+    """
+    out = jnp.zeros(spec.nz, d.dtype)
+    if spec.ort_prim:
+        p = np.asarray(spec.ort_prim)
+        q = np.asarray(spec.ort_dual)
+        r = np.asarray(spec.ort_rows)
+        out = out.at[r].set(d[p] * d[q])
+    for prim, dual, rows in zip(spec.soc_prim, spec.soc_dual, spec.soc_rows):
+        out = out.at[np.asarray(rows)].set(
+            cone_product(d[np.asarray(prim)], d[np.asarray(dual)]))
+    return out
 
 
 def _pos_root_step(z0, z1, d0, d1):

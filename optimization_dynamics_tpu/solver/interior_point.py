@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from optimization_dynamics_tpu.ops.cones import ConeSpec, step_to_boundary
+from optimization_dynamics_tpu.ops.cones import (ConeSpec, delta_products,
+                                                 step_to_boundary)
 from optimization_dynamics_tpu.ops.linalg import newton_solve
 
 __all__ = ["IPOptions", "IPSolution", "make_solver", "make_solver_batched",
@@ -69,6 +70,17 @@ class IPOptions:
     center_frac: float = 0.1       # inner solve tol: |r|_inf < center_frac*kappa
     tau_min: float = 0.75          # most conservative fraction-to-boundary
     tau_max: float = 0.99
+    # Mehrotra predictor-corrector: per iteration, an affine predictor
+    # solve picks the central-path target adaptively —
+    # kappa <- clip(max(sigma*mu, infeas_frac*|r_eq|_inf), kappa_final,
+    # kappa) with sigma = (mu_aff/mu)^3 (monotone, never aiming products
+    # below the current infeasibility level: a "balanced" path) — and the
+    # corrector reuses the factorization with the a_aff^2-damped
+    # second-order Δw∘Δλ term added (RoboDojo's general_correction_term!
+    # semantics). Costs one extra back-substitution + one residual sweep
+    # per iteration; typically 2-3x fewer iterations.
+    mehrotra: bool = False
+    mehrotra_infeas_frac: float = 0.1
     verbose: bool = False          # per-iteration jax.debug.print logs
 
 
@@ -134,6 +146,8 @@ def make_solver(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
     has_cones = bool(spec.ort_prim) or bool(spec.soc_prim)
     kappa_final = opts.kappa_final_frac * opts.kappa_tol
     ls_exps = jnp.arange(opts.max_ls)
+    use_meh = opts.mehrotra and has_cones
+    n_cones = max(len(spec.ort_rows) + len(spec.soc_rows), 1)
 
     def solve(z0: jnp.ndarray, theta: jnp.ndarray) -> IPSolution:
         dtype = z0.dtype
@@ -173,13 +187,54 @@ def make_solver(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
 
         def body(state):
             z, kappa, r0, it, stalled, reinit_used = state
-            r_k = r0 - kappa * head_mask
-            merit_cur = jnp.max(jnp.abs(r_k))
 
             J = jacobian_fn(z, theta)
             if opts.gamma_reg > 0.0:
                 J = J + (opts.gamma_reg * kappa) * jnp.eye(spec.nz, dtype=dtype)
-            delta = newton_solve(J, r_k)
+            if use_meh:
+                # Predictor: affine direction toward kappa = 0; its step
+                # quality sets the centering weight sigma. The new target
+                # kappa = clip(max(sigma*mu, infeas_frac*|r_eq|), kf, kappa)
+                # is monotone and never aims products below the current
+                # equality infeasibility (an adaptive target that collapses
+                # while the iterate is still infeasible wedges the line
+                # search at active contacts).
+                lu_piv = jax.scipy.linalg.lu_factor(J)
+                d_aff = jax.scipy.linalg.lu_solve(lu_piv, r0)
+                a_aff = step_to_boundary(spec, z, d_aff, tau=1.0)
+                r_aff = residual_fn(z - a_aff * d_aff, theta, 0.0)
+                mu = jnp.sum(head_mask * r0) / n_cones
+                mu_aff = jnp.maximum(
+                    jnp.sum(head_mask * r_aff) / n_cones, 0.0)
+                sigma = jnp.clip(
+                    (mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+                r_eq = jnp.max(jnp.abs(r0) * eq_mask)
+                descending = mu > 1.25 * kappa_final
+                kappa = jnp.where(
+                    descending,
+                    jnp.clip(jnp.maximum(
+                        sigma * mu, opts.mehrotra_infeas_frac * r_eq),
+                        kappa_final, kappa),
+                    kappa_final).astype(dtype)
+                r_k = r0 - kappa * head_mask
+                merit_cur = jnp.max(jnp.abs(r_k))
+                # Corrector (RoboDojo general_correction_term! semantics),
+                # scaled by a_aff^2: the second-order products of the step
+                # actually achievable — the unscaled term is quadratic in
+                # the direction and poisons the search when the iterate is
+                # still infeasible (large |d_aff|, tiny a_aff). Off once mu
+                # reaches the parking floor: its O(kappa) bias in
+                # weakly-active (degenerate) coordinates would keep the
+                # parked merit above r_tol; plain Newton parks
+                # quadratically from there.
+                corr = jnp.where(descending,
+                                 (a_aff * a_aff)
+                                 * delta_products(spec, d_aff), 0.0)
+                delta = jax.scipy.linalg.lu_solve(lu_piv, r_k + corr)
+            else:
+                r_k = r0 - kappa * head_mask
+                merit_cur = jnp.max(jnp.abs(r_k))
+                delta = newton_solve(J, r_k)
 
             tau = jnp.clip(1.0 - merit_cur, opts.tau_min, opts.tau_max)
             alpha0 = step_to_boundary(spec, z, delta, tau=1.0) * tau
@@ -200,13 +255,15 @@ def make_solver(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
             stalled_new = jnp.logical_not(any_improve)
 
             z_new = z - alpha * delta
-            centered = new_merit < jnp.maximum(opts.center_frac * kappa,
-                                               opts.r_tol)
-            kappa_new = jnp.where(
-                centered,
-                jnp.maximum(kappa * opts.kappa_scale, kappa_final),
-                kappa,
-            )
+            if use_meh:
+                kappa_new = kappa   # adaptive target, re-picked next iter
+            else:
+                centered = new_merit < jnp.maximum(
+                    opts.center_frac * kappa, opts.r_tol)
+                kappa_new = jnp.where(
+                    centered,
+                    jnp.maximum(kappa * opts.kappa_scale, kappa_final),
+                    kappa)
             # stall recovery: a bad (e.g. carried) warm start can wedge the
             # line search at a wrong active set. Once per solve, reset the
             # cone variables to the canonical interior point (keeping the
@@ -265,10 +322,13 @@ def make_solver_batched(residual_fn: Callable, spec: ConeSpec,
     has_cones = bool(spec.ort_prim) or bool(spec.soc_prim)
     kappa_final = opts.kappa_final_frac * opts.kappa_tol
     ls_exps = jnp.arange(opts.max_ls)
+    use_meh = opts.mehrotra and has_cones
+    n_cones = max(len(spec.ort_rows) + len(spec.soc_rows), 1)
 
     res_v = jax.vmap(residual_fn, in_axes=(0, 0, None))
     jac_v = jax.vmap(jacobian_fn)
     boundary_v = jax.vmap(lambda z, d: step_to_boundary(spec, z, d, tau=1.0))
+    dprod_v = jax.vmap(lambda d: delta_products(spec, d))
 
     def solve(z0s: jnp.ndarray, thetas: jnp.ndarray) -> IPSolution:
         dtype = z0s.dtype
@@ -311,14 +371,44 @@ def make_solver_batched(residual_fn: Callable, spec: ConeSpec,
         def body(state):
             zs, kappas, r0s, its, stalled, reinit = state
             active = active_lanes(r0s, its, stalled)
-            r_k = r0s - kappas[:, None] * head_mask
-            merit_cur = jnp.max(jnp.abs(r_k), axis=1)
 
             Js = jac_v(zs, thetas)
             if opts.gamma_reg > 0.0:
                 Js = Js + (opts.gamma_reg * kappas)[:, None, None] \
                     * jnp.eye(spec.nz, dtype=dtype)[None]
-            deltas = jnp.linalg.solve(Js, r_k[..., None])[..., 0]
+            if use_meh:
+                # see single-solver notes: adaptive monotone target
+                # kappa = clip(max(sigma*mu, infeas_frac*|r_eq|), kf, kappa)
+                # with an a_aff^2-damped corrector, off at the parking floor
+                lu_piv = jax.scipy.linalg.lu_factor(Js)
+                d_aff = jax.scipy.linalg.lu_solve(
+                    lu_piv, r0s[..., None])[..., 0]
+                a_aff = boundary_v(zs, d_aff)
+                r_affs = res_v(zs - a_aff[:, None] * d_aff, thetas, 0.0)
+                mus = jnp.sum(head_mask * r0s, axis=1) / n_cones
+                mu_affs = jnp.maximum(
+                    jnp.sum(head_mask * r_affs, axis=1) / n_cones, 0.0)
+                sigmas = jnp.clip(
+                    (mu_affs / jnp.maximum(mus, 1e-30)) ** 3, 0.0, 1.0)
+                r_eqs = jnp.max(jnp.abs(r0s) * eq_mask, axis=1)
+                descending = mus > 1.25 * kappa_final
+                kappas = jnp.where(
+                    descending,
+                    jnp.clip(jnp.maximum(
+                        sigmas * mus, opts.mehrotra_infeas_frac * r_eqs),
+                        kappa_final, kappas),
+                    kappa_final).astype(dtype)
+                r_k = r0s - kappas[:, None] * head_mask
+                merit_cur = jnp.max(jnp.abs(r_k), axis=1)
+                corr = jnp.where(descending[:, None],
+                                 (a_aff * a_aff)[:, None] * dprod_v(d_aff),
+                                 0.0)
+                deltas = jax.scipy.linalg.lu_solve(
+                    lu_piv, (r_k + corr)[..., None])[..., 0]
+            else:
+                r_k = r0s - kappas[:, None] * head_mask
+                merit_cur = jnp.max(jnp.abs(r_k), axis=1)
+                deltas = jnp.linalg.solve(Js, r_k[..., None])[..., 0]
 
             taus = jnp.clip(1.0 - merit_cur, opts.tau_min, opts.tau_max)
             alpha0 = jnp.minimum(boundary_v(zs, deltas) * taus, 1.0)
@@ -341,12 +431,15 @@ def make_solver_batched(residual_fn: Callable, spec: ConeSpec,
             stalled_new = jnp.logical_not(any_improve)
 
             zs_new = zs - alpha[:, None] * deltas
-            centered = new_merit < jnp.maximum(
-                opts.center_frac * kappas, opts.r_tol)
-            kappas_new = jnp.where(
-                centered,
-                jnp.maximum(kappas * opts.kappa_scale, kappa_final),
-                kappas)
+            if use_meh:
+                kappas_new = kappas   # adaptive target, re-picked next iter
+            else:
+                centered = new_merit < jnp.maximum(
+                    opts.center_frac * kappas, opts.r_tol)
+                kappas_new = jnp.where(
+                    centered,
+                    jnp.maximum(kappas * opts.kappa_scale, kappa_final),
+                    kappas)
 
             if has_cones:
                 do_reinit = jnp.logical_and(stalled_new,

@@ -115,6 +115,46 @@ def test_soc_projection_matches_analytic():
             atol=1e-4, err_msg=str(target))
 
 
+def test_mehrotra_matches_and_saves_iterations():
+    """Predictor-corrector: same solutions, fewer Newton iterations."""
+    base = IPOptions(r_tol=1e-10, kappa_tol=1e-8)
+    meh = IPOptions(r_tol=1e-10, kappa_tol=1e-8, mehrotra=True)
+    s0 = jax.jit(make_solver(_nn_lsq_residual, _NN_SPEC, base))
+    s1 = jax.jit(make_solver(_nn_lsq_residual, _NN_SPEC, meh))
+    z0 = jnp.array([0.0, 0.0, 1.0, 1.0, 1.0, 1.0])
+    # includes a degenerate lane (theta=0: weakly active constraint)
+    for target in ([0.7, -1.3], [2.0, 0.1], [-0.5, -0.5], [0.0, 3.0]):
+        theta = jnp.array(target)
+        a = s0(z0, theta)
+        b = s1(z0, theta)
+        assert bool(b.converged), target
+        np.testing.assert_allclose(b.z[0:2], jnp.maximum(theta, 0.0),
+                                   atol=1e-4)
+        assert int(b.iterations) <= int(a.iterations), target
+
+    soc = jax.jit(make_solver(_soc_proj_residual, _SOC_SPEC, meh))
+    for target in ([0.1, 1.0, -0.5], [2.0, 0.3, 0.1], [1.0, 1.0, 0.0]):
+        theta = jnp.array(target)
+        sol = soc(jnp.array([1.0, 0.1, 0.1, 1.0, 0.1, 0.1]), theta)
+        assert bool(sol.converged), target
+        np.testing.assert_allclose(
+            np.asarray(sol.z[0:3]), _soc_project(np.asarray(theta)),
+            atol=1e-4, err_msg=str(target))
+
+
+def test_mehrotra_batched_matches_single():
+    from optimization_dynamics_tpu.solver.interior_point import (
+        make_solver_batched)
+    meh = IPOptions(r_tol=1e-10, kappa_tol=1e-8, mehrotra=True)
+    bs = jax.jit(make_solver_batched(_nn_lsq_residual, _NN_SPEC, meh))
+    thetas = jnp.array([[0.7, -1.3], [2.0, 0.1], [-0.5, -0.5], [0.0, 3.0]])
+    z0s = jnp.tile(jnp.array([0.0, 0.0, 1.0, 1.0, 1.0, 1.0]), (4, 1))
+    sols = bs(z0s, thetas)
+    assert bool(jnp.all(sols.converged))
+    np.testing.assert_allclose(
+        sols.z[:, 0:2], jnp.maximum(thetas, 0.0), atol=1e-4)
+
+
 def test_vmapped_solve():
     """The solver must vmap over scenario batches (while_loop batching)."""
     opts = IPOptions(r_tol=1e-10, kappa_tol=1e-8)
