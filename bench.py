@@ -114,6 +114,39 @@ def variant_batched(B: int = 64):
     }
 
 
+def variant_segmented(B: int = 64):
+    """Host-orchestrated phase programs (solver/ilqr_segmented.py): same
+    math as the fused batched solve, but each phase jits separately —
+    sized like the probe programs that are verified to run on this
+    backend."""
+    jax, on_tpu = _setup_jax()
+    import jax.numpy as jnp
+    from optimization_dynamics_tpu.solver.ilqr_segmented import (
+        make_segmented_solver)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x0, us0, opts = _build(on_tpu, dtype)
+    if not on_tpu:
+        B = 8
+    key = jax.random.PRNGKey(0)
+    x0s = (jnp.tile(x0.astype(dtype), (B, 1))
+           + 0.01 * jax.random.normal(key, (B, 4), dtype))
+    run = make_segmented_solver(prob, opts, B, dtype=dtype)
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    t0 = time.perf_counter()
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    dt = time.perf_counter() - t0
+    v = B / dt
+    return {
+        "metric": ("cartpole-friction full iLQR solves/s "
+                   "(1 chip, segmented executor, batch %d, %d/%d converged)"
+                   % (B, int(jnp.sum(res.converged)), B)),
+        "value": round(v, 3), "unit": "solves/s",
+        "vs_baseline": round(v / TARGET_PER_CHIP, 4),
+    }
+
+
 def variant_single():
     jax, on_tpu = _setup_jax()
     import jax.numpy as jnp
@@ -173,14 +206,14 @@ def variant_steps(B: int = 128):
     }
 
 
-VARIANTS = ["batched", "single", "steps"]
+VARIANTS = ["batched", "segmented", "single", "steps"]
 
 
 def main():
     if len(sys.argv) > 1:          # worker mode
         name = sys.argv[1]
-        fn = {"batched": variant_batched, "single": variant_single,
-              "steps": variant_steps}[name]
+        fn = {"batched": variant_batched, "segmented": variant_segmented,
+              "single": variant_single, "steps": variant_steps}[name]
         print(json.dumps(fn()))
         return
 

@@ -17,11 +17,17 @@ avoids the vmap-of-while pattern entirely (docs/DESIGN.md §6).
 Requires ``prob.dynamics_batched`` ((t, xs, us) -> ys) and
 ``prob.dynamics_jac_batched``; cost/constraint callables are the scalar
 ones (vmapped internally — they contain no control flow).
+
+The phase functions (open/closed-loop rollouts, derivative sweep, Riccati
+backward pass, grid line search, AL bookkeeping) are built by
+``make_phases`` so the segmented executor (``ilqr_segmented.py``) can jit
+them as separate device programs with identical semantics.
 """
 
 from __future__ import annotations
 
 import math
+from types import SimpleNamespace
 from typing import Callable, Optional
 
 import jax
@@ -36,23 +42,13 @@ from optimization_dynamics_tpu.solver.ilqr import (
     _violation,
 )
 
-__all__ = ["solve_batched"]
+__all__ = ["solve_batched", "make_phases"]
 
 
-def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
-                  us_init: jnp.ndarray,
-                  opts: ILQROptions = ILQROptions()) -> ILQRResult:
-    """x0s: (B, nx); us_init: (B, T-1, nu) or (T-1, nu) shared."""
-    assert prob.dynamics_batched is not None, "needs dynamics_batched"
-    T, nx, nu = prob.T, prob.nx, prob.nu
+def _pad_masks(prob: ILQRProblem) -> ILQRProblem:
+    T, nu = prob.T, prob.nu
     ncon, nconT = prob.ncon, prob.nconT
-    dtype = x0s.dtype
-    B = x0s.shape[0]
-    ts = jnp.arange(T - 1)
-    if us_init.ndim == 2:
-        us_init = jnp.broadcast_to(us_init[None], (B, T - 1, nu))
-
-    prob = prob._replace(
+    return prob._replace(
         ineq_mask=(jnp.zeros((T - 1, max(ncon, 1)), bool)
                    if prob.ineq_mask is None else prob.ineq_mask),
         terminal_ineq_mask=(jnp.zeros(max(nconT, 1), bool)
@@ -61,6 +57,19 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
         u_mask=(jnp.ones((T - 1, nu), bool)
                 if prob.u_mask is None else prob.u_mask),
     )
+
+
+def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
+                dtype) -> SimpleNamespace:
+    """Build the batched AL-iLQR phase functions for batch width B.
+
+    Each returned function is a pure, jit-safe device program over
+    lane-batched arrays; ``solve_batched`` composes them inside
+    ``while_loop``s, the segmented executor jits them individually.
+    """
+    prob = _pad_masks(prob)
+    T, nx, nu = prob.T, prob.nx, prob.nu
+    ts = jnp.arange(T - 1)
     stage_al, terminal_al, stage_exp, terminal_exp = _make_al_costs(prob)
 
     stage_al_v = jax.vmap(stage_al, in_axes=(None, 0, 0, 0, 0))
@@ -203,48 +212,32 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
         return (xss_c[sel], uss_c[sel], Js_c[jnp.arange(B), pick],
                 accepted)
 
-    def inner(xss, uss, lams, lamTs, rhos, act_al):
-        def cond(s):
-            xss, uss, Js, regs, it, done = s
-            return jnp.any(jnp.logical_and(
-                jnp.logical_not(done), it < opts.max_iter))
+    def inner_step(xss, uss, Js, regs, lams, lamTs, rhos, active):
+        """One iLQR iteration for every active lane; returns the updated
+        (xss, uss, Js, regs) plus the per-lane convergence signals."""
+        d = derivatives(xss, uss, lams, lamTs, rhos)
+        Kss, kss, dV1, dV2, qu_inf, bp_ok = backward(*d, regs)
+        xss_n, uss_n, Js_n, accepted = line_search(
+            xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos)
+        ls_failed = jnp.logical_not(jnp.logical_and(accepted, bp_ok))
+        regs_n = jnp.where(
+            ls_failed,
+            jnp.minimum(regs * opts.reg_up, opts.reg_max),
+            jnp.maximum(regs * opts.reg_down, opts.reg_min))
+        keep = jnp.logical_or(ls_failed, jnp.logical_not(active))
+        xss_n = jnp.where(keep[:, None, None], xss, xss_n)
+        uss_n = jnp.where(keep[:, None, None], uss, uss_n)
+        Js_n = jnp.where(keep, Js, Js_n)
+        regs_n = jnp.where(active, regs_n, regs)
 
-        def body(s):
-            xss, uss, Js, regs, it, done = s
-            active = jnp.logical_and(jnp.logical_not(done),
-                                     jnp.logical_and(act_al,
-                                                     it < opts.max_iter))
-            d = derivatives(xss, uss, lams, lamTs, rhos)
-            Kss, kss, dV1, dV2, qu_inf, bp_ok = backward(*d, regs)
-            xss_n, uss_n, Js_n, accepted = line_search(
-                xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos)
-            ls_failed = jnp.logical_not(jnp.logical_and(accepted, bp_ok))
-            regs_n = jnp.where(
-                ls_failed,
-                jnp.minimum(regs * opts.reg_up, opts.reg_max),
-                jnp.maximum(regs * opts.reg_down, opts.reg_min))
-            keep = jnp.logical_or(ls_failed, jnp.logical_not(active))
-            xss_n = jnp.where(keep[:, None, None], xss, xss_n)
-            uss_n = jnp.where(keep[:, None, None], uss, uss_n)
-            Js_n = jnp.where(keep, Js, Js_n)
-            regs_n = jnp.where(active, regs_n, regs)
-
-            grad_small = qu_inf < opts.grad_tol
-            obj_small = jnp.abs(Js - Js_n) < opts.obj_tol
-            reg_capped = regs_n >= opts.reg_max
-            done_n = jnp.logical_or(done, jnp.logical_or(
-                grad_small,
-                jnp.logical_or(jnp.logical_and(accepted, obj_small),
-                               jnp.logical_and(ls_failed, reg_capped))))
-            it_n = it + active.astype(jnp.int32)
-            return (xss_n, uss_n, Js_n, regs_n, it_n, done_n)
-
-        Js0 = traj_cost(xss, uss, lams, lamTs, rhos)
-        state = (xss, uss, Js0, jnp.full(B, opts.reg_init, dtype),
-                 jnp.zeros(B, jnp.int32),
-                 jnp.logical_not(act_al))
-        xss, uss, Js, regs, its, _ = jax.lax.while_loop(cond, body, state)
-        return xss, uss, Js, its
+        grad_small = qu_inf < opts.grad_tol
+        obj_small = jnp.abs(Js - Js_n) < opts.obj_tol
+        reg_capped = regs_n >= opts.reg_max
+        newly_done = jnp.logical_or(
+            grad_small,
+            jnp.logical_or(jnp.logical_and(accepted, obj_small),
+                           jnp.logical_and(ls_failed, reg_capped)))
+        return xss_n, uss_n, Js_n, regs_n, newly_done
 
     has_con = prob.stage_con is not None
     has_conT = prob.terminal_con is not None
@@ -283,7 +276,61 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
                 -opts.lambda_max, opts.lambda_max)
         return lams, lamTs
 
-    xss0 = rollout_open(x0s, us_init)
+    def smooth_cost(xss, uss):
+        def one(xs, us):
+            Js = jax.vmap(prob.stage_cost)(ts, xs[:-1], us)
+            return jnp.sum(Js) + prob.terminal_cost(xs[-1])
+        return jax.vmap(one)(xss, uss)
+
+    return SimpleNamespace(
+        prob=prob, B=B, T=T, nx=nx, nu=nu, dtype=dtype,
+        has_con=has_con, has_conT=has_conT,
+        rollout_open=rollout_open, traj_cost=traj_cost,
+        closed_loop=closed_loop, derivatives=derivatives,
+        backward=backward, line_search=line_search, inner_step=inner_step,
+        con_violation=con_violation, dual_update=dual_update,
+        smooth_cost=smooth_cost)
+
+
+def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
+                  us_init: jnp.ndarray,
+                  opts: ILQROptions = ILQROptions()) -> ILQRResult:
+    """x0s: (B, nx); us_init: (B, T-1, nu) or (T-1, nu) shared."""
+    assert prob.dynamics_batched is not None, "needs dynamics_batched"
+    T, nu = prob.T, prob.nu
+    ncon, nconT = prob.ncon, prob.nconT
+    dtype = x0s.dtype
+    B = x0s.shape[0]
+    if us_init.ndim == 2:
+        us_init = jnp.broadcast_to(us_init[None], (B, T - 1, nu))
+
+    ph = make_phases(prob, opts, B, dtype)
+
+    def inner(xss, uss, lams, lamTs, rhos, act_al):
+        def cond(s):
+            xss, uss, Js, regs, it, done = s
+            return jnp.any(jnp.logical_and(
+                jnp.logical_not(done), it < opts.max_iter))
+
+        def body(s):
+            xss, uss, Js, regs, it, done = s
+            active = jnp.logical_and(jnp.logical_not(done),
+                                     jnp.logical_and(act_al,
+                                                     it < opts.max_iter))
+            xss_n, uss_n, Js_n, regs_n, newly_done = ph.inner_step(
+                xss, uss, Js, regs, lams, lamTs, rhos, active)
+            done_n = jnp.logical_or(done, newly_done)
+            it_n = it + active.astype(jnp.int32)
+            return (xss_n, uss_n, Js_n, regs_n, it_n, done_n)
+
+        Js0 = ph.traj_cost(xss, uss, lams, lamTs, rhos)
+        state = (xss, uss, Js0, jnp.full(B, opts.reg_init, dtype),
+                 jnp.zeros(B, jnp.int32),
+                 jnp.logical_not(act_al))
+        xss, uss, Js, regs, its, _ = jax.lax.while_loop(cond, body, state)
+        return xss, uss, Js, its
+
+    xss0 = ph.rollout_open(x0s, us_init)
     lams0 = jnp.zeros((B, T - 1, max(ncon, 1)), dtype)
     lamTs0 = jnp.zeros((B, max(nconT, 1)), dtype)
     rhos0 = jnp.full(B, opts.rho_init, dtype)
@@ -299,9 +346,9 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
         act = jnp.logical_not(vio < opts.con_tol)
         xss, uss, Js, inner_its = inner(xss, uss, lams, lamTs, rhos, act)
         its = its + inner_its
-        vio_n = con_violation(xss, uss)
+        vio_n = ph.con_violation(xss, uss)
         vio = jnp.where(act, vio_n, vio)
-        lams_n, lamTs_n = dual_update(xss, uss, lams, lamTs, rhos)
+        lams_n, lamTs_n = ph.dual_update(xss, uss, lams, lamTs, rhos)
         lams = jnp.where(act[:, None, None], lams_n, lams)
         lamTs = jnp.where(act[:, None], lamTs_n, lamTs)
         rhos = jnp.where(act, rhos * opts.rho_scale, rhos)
@@ -310,7 +357,7 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
     state = (xss0, us_init, lams0, lamTs0, rhos0,
              jnp.zeros(B, jnp.int32), jnp.asarray(0, jnp.int32),
              jnp.full(B, jnp.inf, dtype))
-    if has_con or has_conT:
+    if ph.has_con or ph.has_conT:
         xss, uss, lams, lamTs, rhos, its, al_it, vio = jax.lax.while_loop(
             al_cond, al_body, state)
     else:
@@ -320,13 +367,8 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
         al_it = jnp.asarray(1, jnp.int32)
         vio = jnp.zeros(B, dtype)
 
-    al_obj = traj_cost(xss, uss, lams, lamTs, rhos)
-
-    def smooth_cost_one(xs, us):
-        Js = jax.vmap(prob.stage_cost)(ts, xs[:-1], us)
-        return jnp.sum(Js) + prob.terminal_cost(xs[-1])
-
-    obj = jax.vmap(smooth_cost_one)(xss, uss)
+    al_obj = ph.traj_cost(xss, uss, lams, lamTs, rhos)
+    obj = ph.smooth_cost(xss, uss)
     return ILQRResult(
         xs=xss, us=uss, objective=obj, al_objective=al_obj,
         iterations=its,

@@ -1,0 +1,162 @@
+"""Segmented AL-iLQR executor: host-orchestrated jitted phase programs.
+
+Semantically identical to ``solve_batched`` (same phase functions, built
+by ``ilqr_batched.make_phases``), but the outer control flow — the AL
+rounds and the inner iLQR iteration loop — runs on the *host*, and each
+phase (open-loop rollout, one full inner iteration, constraint
+violation + dual update) is its own jitted device program.
+
+Why it exists:
+
+* **Fault containment / program-size diet.** The fused ``solve_batched``
+  traces the entire AL-iLQR (nested ``while_loop``s around interior-point
+  solves) into one XLA program; on some TPU runtimes that program
+  triggers backend faults and costs tens of minutes of compile time
+  (docs/DESIGN.md §6). The segmented phases are each about the size of a
+  rollout or a derivative sweep — both verified to compile and run on
+  the same backend — and compile in a fraction of the time.
+* **Observability.** The host loop sees per-iteration objectives,
+  convergence flags, and constraint violations as concrete numbers —
+  free progress logging and early stopping, where the fused program
+  would need ``jax.debug`` plumbing.
+
+Cost: one host<->device synchronization per inner iteration (a handful
+of scalars); with scenario batches of 64+ the phase programs are large
+enough that dispatch latency is noise.
+
+The reference's solver loop is host-driven Julia for one trajectory at a
+time (/root/reference/examples/cartpole.jl:100 calling IterativeLQR's
+``solve!``); this executor keeps that shape while every phase runs
+lane-batched on device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_dynamics_tpu.solver.ilqr import (
+    ILQROptions,
+    ILQRProblem,
+    ILQRResult,
+)
+from optimization_dynamics_tpu.solver.ilqr_batched import make_phases
+
+__all__ = ["make_segmented_solver", "solve_segmented"]
+
+
+def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
+                          dtype=jnp.float32,
+                          log: Optional[Callable[[str], None]] = None):
+    """Build ``solve(x0s, us_init) -> ILQRResult`` for batch width B.
+
+    The returned callable drives the AL / inner loops from the host; the
+    jitted phase programs are cached across calls (create the solver
+    once, call it many times).
+    """
+    assert prob.dynamics_batched is not None, "needs dynamics_batched"
+    ph = make_phases(prob, opts, B, dtype)
+    T, nu = ph.T, ph.nu
+    ncon, nconT = prob.ncon, prob.nconT
+
+    rollout_j = jax.jit(ph.rollout_open)
+    traj_cost_j = jax.jit(ph.traj_cost)
+
+    @jax.jit
+    def iter_j(xss, uss, Js, regs, lams, lamTs, rhos, active):
+        """One inner iLQR iteration (sweep + backward + line search)."""
+        xss, uss, Js, regs, newly_done = ph.inner_step(
+            xss, uss, Js, regs, lams, lamTs, rhos, active)
+        return xss, uss, Js, regs, newly_done
+
+    @jax.jit
+    def al_round_j(xss, uss, lams, lamTs, rhos, act):
+        """Constraint violation + PHR dual update + penalty scaling."""
+        vio_n = ph.con_violation(xss, uss)
+        lams_n, lamTs_n = ph.dual_update(xss, uss, lams, lamTs, rhos)
+        lams = jnp.where(act[:, None, None], lams_n, lams)
+        lamTs = jnp.where(act[:, None], lamTs_n, lamTs)
+        rhos = jnp.where(act, rhos * opts.rho_scale, rhos)
+        return vio_n, lams, lamTs, rhos
+
+    @jax.jit
+    def finish_j(xss, uss, lams, lamTs, rhos):
+        return ph.traj_cost(xss, uss, lams, lamTs, rhos), \
+            ph.smooth_cost(xss, uss)
+
+    def inner(xss, uss, lams, lamTs, rhos, act_al, its):
+        Js = traj_cost_j(xss, uss, lams, lamTs, rhos)
+        regs = jnp.full(B, opts.reg_init, dtype)
+        done = np.asarray(~act_al)
+        for it in range(opts.max_iter):
+            active = jnp.asarray(~done)
+            xss, uss, Js, regs, newly_done = iter_j(
+                xss, uss, Js, regs, lams, lamTs, rhos, active)
+            its = its + active.astype(jnp.int32)
+            done = done | np.asarray(newly_done)
+            if log is not None:
+                log("  inner it=%d J=%.6g done=%d/%d"
+                    % (it, float(jnp.min(Js)), int(done.sum()), B))
+            if done.all():
+                break
+        return xss, uss, Js, its
+
+    def solve(x0s: jnp.ndarray, us_init: jnp.ndarray) -> ILQRResult:
+        assert x0s.shape[0] == B, (x0s.shape, B)
+        if us_init.ndim == 2:
+            us_init = jnp.broadcast_to(us_init[None], (B, T - 1, nu))
+        x0s = x0s.astype(dtype)
+        us_init = us_init.astype(dtype)
+
+        xss = rollout_j(x0s, us_init)
+        uss = us_init
+        lams = jnp.zeros((B, T - 1, max(ncon, 1)), dtype)
+        lamTs = jnp.zeros((B, max(nconT, 1)), dtype)
+        rhos = jnp.full(B, opts.rho_init, dtype)
+        its = jnp.zeros(B, jnp.int32)
+        vio = np.full(B, np.inf)
+        al_it = 0
+
+        if ph.has_con or ph.has_conT:
+            for al_it in range(1, opts.max_al_iter + 1):
+                act = jnp.asarray(vio >= opts.con_tol)
+                xss, uss, Js, its = inner(xss, uss, lams, lamTs, rhos,
+                                          np.asarray(act), its)
+                vio_n, lams, lamTs, rhos = al_round_j(
+                    xss, uss, lams, lamTs, rhos, act)
+                vio = np.where(np.asarray(act), np.asarray(vio_n), vio)
+                if log is not None:
+                    log("al round %d: max vio %.3e" % (al_it, vio.max()))
+                if (vio < opts.con_tol).all():
+                    break
+        else:
+            xss, uss, Js, its = inner(xss, uss, lams, lamTs, rhos,
+                                      np.ones(B, bool), its)
+            al_it = 1
+            vio = np.zeros(B)
+
+        al_obj, obj = finish_j(xss, uss, lams, lamTs, rhos)
+        vio_dev = jnp.asarray(vio, dtype)
+        return ILQRResult(
+            xs=xss, us=uss, objective=obj, al_objective=al_obj,
+            iterations=its,
+            al_iterations=jnp.full(B, al_it, jnp.int32),
+            constraint_violation=vio_dev,
+            gradient_norm=jnp.zeros(B, dtype),
+            converged=vio_dev < opts.con_tol)
+
+    return solve
+
+
+def solve_segmented(prob: ILQRProblem, x0s: jnp.ndarray,
+                    us_init: jnp.ndarray,
+                    opts: ILQROptions = ILQROptions(),
+                    log: Optional[Callable[[str], None]] = None
+                    ) -> ILQRResult:
+    """One-shot convenience wrapper over ``make_segmented_solver``."""
+    solve = make_segmented_solver(prob, opts, x0s.shape[0],
+                                  dtype=x0s.dtype, log=log)
+    return solve(x0s, us_init)
