@@ -11,6 +11,7 @@ goal upright at the pad. Two modes:
 from __future__ import annotations
 
 import math
+import os
 from typing import Tuple
 
 import jax
@@ -170,6 +171,15 @@ def main():
               f" thrust-cone feasible: {cone_ok}")
         print("final state err:",
               float(np.max(np.abs(np.asarray(res.xs[-1] - xT)[2:]))))
+        viz_dir = os.environ.get("ODX_VIZ_DIR")
+        if viz_dir:
+            from optimization_dynamics_tpu.utils.viz import (
+                visualize_rocket_3d)
+            os.makedirs(viz_dir, exist_ok=True)
+            out = visualize_rocket_3d(
+                np.asarray(res.xs), os.path.join(viz_dir, "rocket_3d.html"),
+                us=us_eff, dt=H)
+            print("3-D player:", out)
 
 
 if __name__ == "__main__":

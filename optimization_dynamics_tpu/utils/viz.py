@@ -19,6 +19,7 @@ import numpy as np
 __all__ = [
     "frame_cartpole", "frame_acrobot", "frame_planar_push", "frame_hopper",
     "frame_rocket", "animate_html", "plot_trajectory", "visualize",
+    "frame_rocket_3d", "animate_html_3d", "visualize_rocket_3d",
 ]
 
 _FRAMES = {}
@@ -161,7 +162,128 @@ draw(0);
     return path
 
 
-_register()
+def frame_rocket_3d(x, u=None, length=1.0, radius=0.12):
+    """3-D wireframe of the rocket body (+ thrust vector when ``u`` is
+    given): an octagonal prism along the body z-axis, nose lines, and the
+    tail-mounted thrust direction — the build's stand-in for the
+    reference's MeshCat Starship mesh
+    (/root/reference/src/models/rocket/visuals.jl:5-20)."""
+    from optimization_dynamics_tpu.models.rocket import mrp_rotation
+    import jax.numpy as jnp
+    R = np.asarray(mrp_rotation(jnp.asarray(x[3:6])))
+    p = np.asarray(x[0:3])
+    half = 0.5 * length
+    ang = np.linspace(0.0, 2 * np.pi, 9)
+    ring = np.stack([radius * np.cos(ang), radius * np.sin(ang),
+                     np.zeros_like(ang)], axis=1)
+    bot = (p[None] + (ring + [0, 0, -half]) @ R.T)
+    top = (p[None] + (ring + [0, 0, half - 0.25 * length]) @ R.T)
+    nose = p + R @ np.array([0.0, 0.0, half + 0.15 * length])
+    segs = [[tuple(q) for q in bot], [tuple(q) for q in top]]
+    for i in range(0, 8, 2):
+        segs.append([tuple(bot[i]), tuple(top[i])])     # struts
+        segs.append([tuple(top[i]), tuple(nose)])       # nose cone
+    if u is not None and np.linalg.norm(np.asarray(u)) > 1e-9:
+        tail = p + R @ np.array([0.0, 0.0, -half])
+        flame = tail - R @ (0.4 * np.asarray(u)
+                            / max(np.linalg.norm(np.asarray(u)), 1e-9))
+        segs.append([tuple(tail), tuple(flame)])
+    return segs
+
+
+def visualize_rocket_3d(xs, path: str, us=None, dt: float = 0.05):
+    """Interactive 3-D HTML player for a rocket state trajectory
+    (``xs``: (T, 12); ``us`` optional (T-1, 3) thrust for the flame)."""
+    xs = np.asarray(xs)
+    frames = []
+    for t, x in enumerate(xs):
+        u = None if us is None or t >= len(us) else np.asarray(us[t])
+        frames.append(frame_rocket_3d(x, u))
+    return animate_html_3d(frames, path, dt=dt, title="rocket (3-D)")
+
+
+def animate_html_3d(frames, path: str, dt: float = 0.05,
+                    title: str = "trajectory"):
+    """Self-contained 3-D HTML player: canvas renderer with an orbit
+    camera (drag to rotate, wheel to zoom), ground grid, trace line, time
+    slider and autoplay. No external libraries (works offline)."""
+    frames_js = [[[list(map(float, p)) for p in seg] for seg in f]
+                 for f in frames]
+    pts = [p for f in frames_js for seg in f for p in seg]
+    c = np.mean(np.asarray(pts), axis=0) if pts else np.zeros(3)
+    ext = (np.max(np.abs(np.asarray(pts) - c[None])) + 1e-6) if pts else 1.0
+    # trajectory trace: mean point of the first segment of each frame
+    trace = [list(map(float, np.mean(np.asarray(f[0]), axis=0)))
+             for f in frames_js if f]
+    html = f"""<!DOCTYPE html><html><head><title>{title}</title></head>
+<body style="background:#fff;text-align:center;font-family:sans-serif">
+<h3>{title}</h3>
+<canvas id="c" width="720" height="600" style="border:1px solid #ccc"></canvas><br>
+<input id="s" type="range" min="0" max="{len(frames_js) - 1}" value="0" style="width:720px">
+<div style="color:#888">drag: orbit &middot; wheel: zoom</div>
+<script>
+const frames = {json.dumps(frames_js)};
+const trace = {json.dumps(trace)};
+const C = {json.dumps(list(map(float, c)))};
+let ext = {float(ext)};
+let yaw = 0.7, pitch = 0.35, zoom = 1.0;
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+function proj(p) {{
+  const x = p[0] - C[0], y = p[1] - C[1], z = p[2] - C[2];
+  const cy = Math.cos(yaw), sy = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  const x1 = cy * x + sy * y, y1 = -sy * x + cy * y;
+  const y2 = cp * y1 + sp * z, z2 = -sp * y1 + cp * z;
+  const d = 4 * ext / zoom;
+  const f = d / (d + y2 + 2 * ext);
+  const s = 0.35 * Math.min(cv.width, cv.height) / ext * zoom;
+  return [cv.width / 2 + x1 * f * s, cv.height / 2 - z2 * f * s];
+}}
+function polyline(ps, style, w) {{
+  ctx.strokeStyle = style; ctx.lineWidth = w; ctx.beginPath();
+  ps.forEach((p, j) => {{
+    const q = proj(p);
+    j ? ctx.lineTo(q[0], q[1]) : ctx.moveTo(q[0], q[1]);
+  }});
+  ctx.stroke();
+}}
+function draw(i) {{
+  ctx.clearRect(0, 0, cv.width, cv.height);
+  const g = Math.ceil(ext);
+  for (let k = -g; k <= g; k++) {{
+    polyline([[k, -g, 0], [k, g, 0]], '#e5e5e5', 1);
+    polyline([[-g, k, 0], [g, k, 0]], '#e5e5e5', 1);
+  }}
+  polyline([[0,0,0],[1,0,0]], '#d62728', 2);
+  polyline([[0,0,0],[0,1,0]], '#2ca02c', 2);
+  polyline([[0,0,0],[0,0,1]], '#1f77b4', 2);
+  if (trace.length > 1) polyline(trace.slice(0, i + 1), '#aec7e8', 2);
+  for (const seg of frames[i]) polyline(seg, '#1f77b4', 2.5);
+}}
+const sl = document.getElementById('s');
+sl.oninput = () => draw(+sl.value);
+let dragging = false, px = 0, py = 0;
+cv.onmousedown = e => {{ dragging = true; px = e.clientX; py = e.clientY; }};
+window.onmouseup = () => dragging = false;
+window.onmousemove = e => {{
+  if (!dragging) return;
+  yaw += (e.clientX - px) * 0.01; pitch += (e.clientY - py) * 0.01;
+  pitch = Math.max(-1.5, Math.min(1.5, pitch));
+  px = e.clientX; py = e.clientY; draw(+sl.value);
+}};
+cv.onwheel = e => {{
+  e.preventDefault();
+  zoom *= e.deltaY < 0 ? 1.1 : 0.9;
+  zoom = Math.max(0.2, Math.min(8, zoom)); draw(+sl.value);
+}};
+let i = 0;
+setInterval(() => {{ i = (i + 1) % frames.length; sl.value = i; draw(i); }},
+            {int(dt * 1000)});
+draw(0);
+</script></body></html>"""
+    with open(path, "w") as f:
+        f.write(html)
+    return path
 
 
 def maybe_visualize(model_name: str, qs, dt: float = 0.05):

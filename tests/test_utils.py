@@ -61,3 +61,28 @@ def test_viz_smoke(tmp_path):
     ]:
         segs = fn(np.asarray(q, dtype=float))
         assert len(segs) >= 1
+
+
+def test_viz_rocket_3d(tmp_path):
+    """3-D HTML player: valid self-contained output, balanced JS."""
+    import json
+    import re
+
+    T = 8
+    xs = np.zeros((T, 12))
+    xs[:, 2] = np.linspace(2.0, 0.5, T)
+    xs[:, 4] = 0.2
+    us = np.tile([0.1, 0.0, 2.0], (T - 1, 1))
+    out = viz.visualize_rocket_3d(xs, str(tmp_path / "r3d.html"), us=us)
+    html = open(out).read()
+    js = re.search(r"<script>(.*)</script>", html, re.S).group(1)
+    assert js.count("{") == js.count("}")
+    frames = json.loads(
+        re.search(r"const frames = (\[.*?\]);\n", js, re.S).group(1))
+    assert len(frames) == T
+    # thrust flame segment present (u given)
+    assert len(frames[0]) == len(viz.frame_rocket_3d(xs[0], None)) + 1
+    for f in frames:
+        for seg in f:
+            for p in seg:
+                assert len(p) == 3 and all(np.isfinite(p))
