@@ -99,6 +99,7 @@ def make_implicit_dynamics(
     kappa_grad_tol: float = 1.0e-3,
     eval_opts: IPOptions | None = None,
     grad_opts: IPOptions | None = None,
+    mehrotra: bool = False,
 ) -> ImplicitDynamics:
     nq = model.nq
     # kappa_init_min: warm-started steps (step_carry) keep a short
@@ -106,10 +107,10 @@ def make_implicit_dynamics(
     # branch as cold path-following; no effect on cold starts.
     if eval_opts is None:
         eval_opts = IPOptions(r_tol=r_tol, kappa_tol=kappa_eval_tol,
-                              kappa_init_min=1.0e-2)
+                              kappa_init_min=1.0e-2, mehrotra=mehrotra)
     if grad_opts is None:
         grad_opts = IPOptions(r_tol=r_tol, kappa_tol=kappa_grad_tol,
-                              kappa_init_min=1.0e-2)
+                              kappa_init_min=1.0e-2, mehrotra=mehrotra)
 
     eval_solve = make_solver(model.residual, model.spec, eval_opts)
     grad_solve = make_solver(model.residual, model.spec, grad_opts)
