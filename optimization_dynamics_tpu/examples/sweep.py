@@ -23,6 +23,8 @@ from optimization_dynamics_tpu.dynamics import make_implicit_dynamics
 from optimization_dynamics_tpu.models import cartpole
 from optimization_dynamics_tpu.parallel.mesh import (
     convergence_summary,
+    merge_retry,
+    quarantine,
     scenario_mesh,
     shard_scenarios,
 )
@@ -89,8 +91,19 @@ def run_sweep(n_scenarios: int = 64, shard_size: int = 32,
         t0 = time.time()
         res = run(fr, x0)
         jax.block_until_ready(res.xs)
+        failed = quarantine(res.converged)
+        if failed:
+            # quarantine + random-restart pass: re-solve the whole shard
+            # from perturbed initial states (same shapes -> no recompile)
+            # and keep retry results only on the failed lanes.
+            key_r = jax.random.fold_in(key, 1000 + s)
+            x0_r = x0 + 0.05 * jax.random.normal(key_r, x0.shape, dtype)
+            res_r = run(fr, x0_r)
+            jax.block_until_ready(res_r.xs)
+            res = merge_retry(res, res_r)
         wall = time.time() - t0
         summary = convergence_summary(res.converged, res.iterations)
+        summary["retried"] = len(failed)
         summary["wall_s"] = round(wall, 3)
         summary["solves_per_s"] = round(fr.shape[0] / wall, 2)
         ck.save(s, res, meta=summary)

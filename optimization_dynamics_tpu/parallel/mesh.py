@@ -21,7 +21,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 __all__ = ["scenario_mesh", "shard_scenarios", "sharded_map",
-           "device_count", "convergence_summary"]
+           "device_count", "convergence_summary", "quarantine",
+           "merge_retry"]
 
 SCENARIO_AXIS = "scenario"
 
@@ -65,7 +66,37 @@ def convergence_summary(converged, iterations=None):
     if iterations is not None:
         out["mean_iterations"] = float(jnp.mean(iterations))
         out["max_iterations"] = int(jnp.max(iterations))
+    failed = quarantine(converged)
+    if failed:
+        out["failed_indices"] = failed[:32]
     return out
+
+
+def quarantine(converged):
+    """Indices of failed scenarios (host-side list).
+
+    Per-scenario failure containment (SURVEY.md §5): lockstep batched
+    solvers already freeze diverged lanes (NaN costs fail the Armijo
+    check, regularization caps, the lane exits); this surfaces *which*
+    lanes failed so sweeps can exclude them from aggregates or retry
+    them (see examples/sweep.py's restart pass).
+    """
+    return np.nonzero(~np.asarray(converged))[0].tolist()
+
+
+def merge_retry(res, res_retry):
+    """Merge a retry pass into a batched result pytree: lanes that failed
+    in ``res`` but converged in ``res_retry`` take the retry values.
+    Both pytrees must share shapes and carry a boolean ``converged``
+    leading-axis field."""
+    import jax.numpy as jnp
+
+    take = jnp.logical_and(jnp.logical_not(res.converged),
+                           res_retry.converged)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            take.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
+        res, res_retry)
 
 
 def sharded_map(fn: Callable, mesh: Mesh, out_specs=PartitionSpec(SCENARIO_AXIS)) -> Callable:

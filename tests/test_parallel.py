@@ -79,3 +79,32 @@ def test_convergence_summary():
     assert s["n_converged"] == 3
     assert abs(s["fraction_converged"] - 0.75) < 1e-6
     assert s["max_iterations"] == 50
+    assert s["failed_indices"] == [1]
+
+
+def test_quarantine():
+    from optimization_dynamics_tpu.parallel.mesh import quarantine
+    conv = jnp.array([True, False, True, False])
+    assert quarantine(conv) == [1, 3]
+    assert quarantine(jnp.array([True, True])) == []
+
+
+def test_merge_retry():
+    from typing import NamedTuple
+
+    from optimization_dynamics_tpu.parallel.mesh import merge_retry
+
+    class R(NamedTuple):
+        xs: jnp.ndarray
+        converged: jnp.ndarray
+
+    res = R(xs=jnp.array([[1.0, 1.0], [2.0, 2.0], [3.0, 3.0]]),
+            converged=jnp.array([True, False, False]))
+    retry = R(xs=jnp.array([[9.0, 9.0], [8.0, 8.0], [7.0, 7.0]]),
+              converged=jnp.array([True, True, False]))
+    out = merge_retry(res, retry)
+    # lane 0: original kept; lane 1: retry taken; lane 2: both failed ->
+    # original kept
+    np.testing.assert_allclose(np.asarray(out.xs),
+                               [[1.0, 1.0], [8.0, 8.0], [3.0, 3.0]])
+    assert list(np.asarray(out.converged)) == [True, True, False]
