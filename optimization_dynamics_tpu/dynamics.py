@@ -35,6 +35,7 @@ from optimization_dynamics_tpu.solver.interior_point import (
     IPOptions,
     IPSolution,
     make_sensitivity,
+    make_sensitivity_batched,
     make_solver,
     make_solver_batched,
 )
@@ -117,6 +118,7 @@ def make_implicit_dynamics(
     grad_solve_batched = make_solver_batched(model.residual, model.spec,
                                              grad_opts)
     sens = make_sensitivity(model.residual, model.spec)
+    sens_batched = make_sensitivity_batched(model.residual, model.spec)
 
     q_sel = np.asarray(model.q_sel)
     th_q0 = np.asarray(model.th_q0)
@@ -181,7 +183,7 @@ def make_implicit_dynamics(
         sols = grad_solve_batched(z0s, thetas)
         q2s = sols.z[:, q_sel]
         ys = jnp.concatenate([q1s, q2s], axis=1)
-        dzs = jax.vmap(sens)(sols.z, thetas)
+        dzs = sens_batched(sols.z, thetas)
         dqs = dzs[:, q_sel, :]
         B = xs.shape[0]
         eye = jnp.broadcast_to(jnp.eye(nq, dtype=xs.dtype), (B, nq, nq))

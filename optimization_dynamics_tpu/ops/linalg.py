@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["newton_solve", "use_pallas_solver"]
+__all__ = ["newton_solve", "batched_newton_solve", "use_pallas_solver"]
 
 _USE_PALLAS = False
 
@@ -49,4 +49,19 @@ def newton_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve ``A x = b`` for one (n, n) system; batch-aware under vmap."""
     if _USE_PALLAS and A.dtype == jnp.float32:
         return _pallas_dispatch_solve(A, b)
+    return jnp.linalg.solve(A, b)
+
+
+def batched_newton_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve a stack of systems: A (B, n, n), b (B, n, k) -> (B, n, k).
+
+    The batched-native solvers' linear-algebra entry point: dispatches to
+    the fused Pallas QR kernel when enabled (f32, TPU layouts), XLA's
+    batched LU otherwise.
+    """
+    if _USE_PALLAS and A.dtype == jnp.float32:
+        from optimization_dynamics_tpu.ops.pallas.batched_solve import (
+            batched_solve,
+        )
+        return batched_solve(A, b)
     return jnp.linalg.solve(A, b)

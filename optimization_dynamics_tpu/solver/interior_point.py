@@ -36,10 +36,11 @@ import numpy as np
 
 from optimization_dynamics_tpu.ops.cones import (ConeSpec, delta_products,
                                                  step_to_boundary)
-from optimization_dynamics_tpu.ops.linalg import newton_solve
+from optimization_dynamics_tpu.ops.linalg import (batched_newton_solve,
+                                                  newton_solve)
 
 __all__ = ["IPOptions", "IPSolution", "make_solver", "make_solver_batched",
-           "make_sensitivity"]
+           "make_sensitivity", "make_sensitivity_batched"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -408,7 +409,7 @@ def make_solver_batched(residual_fn: Callable, spec: ConeSpec,
             else:
                 r_k = r0s - kappas[:, None] * head_mask
                 merit_cur = jnp.max(jnp.abs(r_k), axis=1)
-                deltas = jnp.linalg.solve(Js, r_k[..., None])[..., 0]
+                deltas = batched_newton_solve(Js, r_k[..., None])[..., 0]
 
             taus = jnp.clip(1.0 - merit_cur, opts.tau_min, opts.tau_max)
             alpha0 = jnp.minimum(boundary_v(zs, deltas) * taus, 1.0)
@@ -497,5 +498,26 @@ def make_sensitivity(residual_fn: Callable, spec: ConeSpec,
         rz = jacobian_fn(z, theta)
         rth = jacobian_theta_fn(z, theta)
         return -jnp.linalg.solve(rz, rth)
+
+    return sens
+
+
+def make_sensitivity_batched(residual_fn: Callable, spec: ConeSpec,
+                             jacobian_fn: Callable | None = None,
+                             jacobian_theta_fn: Callable | None = None
+                             ) -> Callable:
+    """Lane-batched IFT sensitivities: ``sens(zs, thetas) -> (B, nz,
+    ntheta)`` with the multi-RHS solve routed through
+    ``batched_newton_solve`` (fused Pallas QR kernel when enabled)."""
+    if jacobian_fn is None:
+        jacobian_fn = jax.jacfwd(lambda z, th: residual_fn(z, th, 0.0))
+    if jacobian_theta_fn is None:
+        jacobian_theta_fn = jax.jacfwd(
+            lambda z, th: residual_fn(z, th, 0.0), argnums=1)
+
+    def sens(zs: jnp.ndarray, thetas: jnp.ndarray) -> jnp.ndarray:
+        rzs = jax.vmap(jacobian_fn)(zs, thetas)
+        rths = jax.vmap(jacobian_theta_fn)(zs, thetas)
+        return -batched_newton_solve(rzs, rths)
 
     return sens
