@@ -1,0 +1,324 @@
+"""Pallas TPU kernel: the entire interior-point solve, fused.
+
+Motivation (measured, docs/DESIGN.md §6): the batched-native IP solver
+sustains ~16.5k steps/s on one v5e chip *independent of batch width* —
+each Newton while-iteration is ~50 tiny HBM-roundtrip XLA ops with ~4-5ms
+of fixed latency, so rollouts and line searches are latency-bound, three
+orders of magnitude off the arithmetic ceiling. This kernel keeps the
+whole path-following solve (residual, jacfwd Jacobian, QR solve,
+fraction-to-boundary, candidate line search, kappa schedule, stall
+recovery) resident in VMEM with the scenario batch across the 128 lanes,
+eliminating the per-op overhead.
+
+Semantics match ``interior_point.make_solver_batched`` with the geometric
+kappa schedule (no Mehrotra inside the kernel): damped Newton on the
+kappa-relaxed residual, vectorized backtracking line search with
+first-improvement pick, lane-masked freezing of converged lanes, one-shot
+cone reinit on stall. Model residuals are arbitrary pure-JAX functions:
+they are ``vmap``-ed to the kernel's batch-last layout at trace time —
+the TPU replacement for the reference's Symbolics codegen
+(/root/reference/src/models/*/codegen.jl), now landing inside one Mosaic
+kernel instead of one XLA op per expression.
+
+Fixed iteration budget: a ``fori_loop`` over ``opts.max_iter`` with
+per-lane convergence masks (converged lanes freeze; the loop always runs
+the full budget — at ~tens of microseconds per fused iteration this is
+cheaper than any early-exit machinery).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from optimization_dynamics_tpu.ops.cones import ConeSpec
+from optimization_dynamics_tpu.ops.pallas.batched_solve import (
+    _qr_solve_block,
+)
+from optimization_dynamics_tpu.solver.interior_point import (
+    IPOptions,
+    IPSolution,
+    _cone_reset,
+    _row_masks,
+)
+
+__all__ = ["make_fused_ip_solver"]
+
+LANES = 128
+_BIG = 1e12
+
+
+def _orthant_alpha(z_o, d_o):
+    """Max alpha with ``z_o - alpha d_o >= 0``; blocks (k, L) -> (L,)."""
+    ratio = jnp.where(d_o > 0, z_o / jnp.where(d_o > 0, d_o, 1.0), _BIG)
+    return jnp.min(ratio, axis=0)
+
+
+def _soc_alpha(z_g, d_g):
+    """Max alpha keeping ``z_g - alpha d_g`` in the SOC; (k, L) -> (L,)."""
+    z0, z1 = z_g[0], z_g[1:]
+    d0, d1 = d_g[0], d_g[1:]
+    A = d0 * d0 - jnp.sum(d1 * d1, axis=0)
+    Bq = -2.0 * (z0 * d0 - jnp.sum(z1 * d1, axis=0))
+    C = z0 * z0 - jnp.sum(z1 * z1, axis=0)
+    a_axis = jnp.where(d0 > 0, z0 / jnp.where(d0 > 0, d0, 1.0), _BIG)
+    disc = Bq * Bq - 4.0 * A * C
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    safe_A = jnp.where(jnp.abs(A) > 1e-30, A, 1.0)
+    r1 = (-Bq - sq) / (2.0 * safe_A)
+    r2 = (-Bq + sq) / (2.0 * safe_A)
+    lo = jnp.minimum(r1, r2)
+    hi = jnp.maximum(r1, r2)
+    quad = jnp.where(lo > 0, lo, jnp.where(hi > 0, hi, _BIG))
+    lin = jnp.where(jnp.abs(Bq) > 1e-30,
+                    -C / jnp.where(jnp.abs(Bq) > 1e-30, Bq, 1.0), _BIG)
+    lin = jnp.where(lin > 0, lin, _BIG)
+    root = jnp.where(jnp.abs(A) > 1e-30, quad, lin)
+    root = jnp.where(disc >= 0, root, _BIG)
+    return jnp.minimum(root, a_axis)
+
+
+def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
+                         opts: IPOptions,
+                         interpret: bool = False) -> Callable:
+    """Build ``solve(z0s (B, nz), thetas (B, ntheta)) -> IPSolution``.
+
+    Drop-in for ``make_solver_batched`` (f32; geometric schedule). B is
+    padded to a multiple of 128 internally; each 128-lane block is one
+    grid step of the fused kernel.
+    """
+    spec.validate()
+    nz, nth = spec.nz, spec.ntheta
+    has_cones = bool(spec.ort_prim) or bool(spec.soc_prim)
+    kappa_final = opts.kappa_final_frac * opts.kappa_tol
+    kappa_lo = max(kappa_final, opts.kappa_init_min) if has_cones \
+        else kappa_final
+
+    # batch-last model functions (vmapped at trace time, inside the kernel)
+    res_bl = jax.vmap(residual_fn, in_axes=(1, 1, None), out_axes=1)
+    jac_bl = jax.vmap(jax.jacfwd(lambda z, th: residual_fn(z, th, 0.0)),
+                      in_axes=(1, 1), out_axes=2)
+
+    eq_np, bil_np, head_np = _row_masks(spec, jnp.float32)
+    eq_m = np.asarray(eq_np)[:, None]          # (nz, 1) for broadcasting
+    bil_m = np.asarray(bil_np)[:, None]
+    head_m = np.asarray(head_np)[:, None]
+    reset_mask_np, reset_tmpl_np = _cone_reset(spec, jnp.float32)
+    reset_m = np.asarray(reset_mask_np)[:, None].astype(np.float32)
+    reset_t = np.asarray(reset_tmpl_np)[:, None]
+
+    def _sel(idx):
+        """Constant 0/1 selection matrix: rows pick z entries. Mosaic has
+        no general gather; a tiny const matmul selects rows instead."""
+        S = np.zeros((len(idx), nz), np.float32)
+        S[np.arange(len(idx)), np.asarray(idx)] = 1.0
+        return S
+
+    ort_sel = (_sel(list(spec.ort_prim) + list(spec.ort_dual))
+               if (spec.ort_prim or spec.ort_dual) else None)
+    soc_sels = [(_sel(p), _sel(d))
+                for p, d in zip(spec.soc_prim, spec.soc_dual)]
+
+    def boundary_alpha(z, d):
+        """(nz, L) blocks -> (L,) max feasible step."""
+        a = jnp.full((z.shape[1],), _BIG, z.dtype)
+        if ort_sel is not None:
+            a = jnp.minimum(a, _orthant_alpha(ort_sel @ z, ort_sel @ d))
+        for Sp, Sd in soc_sels:
+            a = jnp.minimum(a, _soc_alpha(Sp @ z, Sp @ d))
+            a = jnp.minimum(a, _soc_alpha(Sd @ z, Sd @ d))
+        return jnp.minimum(a, 1.0)
+
+    def merit_of(r0, kappa):
+        # r0 (nz, L), kappa (L,) -> (L,)
+        return jnp.max(jnp.abs(r0 - kappa[None, :] * head_m), axis=0)
+
+    def _body(z0, theta):
+        """Pure kernel body: (nz, L), (nth, L) -> (z, stats). Traced to a
+        jaxpr so its array constants (cone masks, model index tables) can
+        be threaded in as kernel inputs — Pallas forbids captured
+        consts."""
+        L = z0.shape[1]
+
+        r0 = res_bl(z0, theta, 0.0)
+        kv0 = jnp.max(jnp.abs(r0) * bil_m, axis=0)
+        if has_cones:
+            kappa0 = jnp.clip(kv0, kappa_lo, opts.kappa_init_max)
+        else:
+            kappa0 = jnp.full((L,), kappa_final, z0.dtype)
+
+        def conv(r0):
+            return merit_of(r0, jnp.full((L,), kappa_final, z0.dtype)) \
+                < opts.r_tol
+
+        def body(_, carry):
+            z, kappa, r0, it, stalled, reinit = carry
+            active = jnp.logical_not(
+                jnp.logical_or(conv(r0), stalled))
+
+            J = jac_bl(z, theta)               # (nz, nz, L)
+            if opts.gamma_reg > 0.0:
+                J = J + (opts.gamma_reg * kappa)[None, None, :] \
+                    * jnp.eye(nz, dtype=z.dtype)[:, :, None]
+            r_k = r0 - kappa[None, :] * head_m
+            merit_cur = jnp.max(jnp.abs(r_k), axis=0)
+            delta = _qr_solve_block(J, r_k[:, None, :])[:, 0, :]  # (nz, L)
+
+            tau = jnp.clip(1.0 - merit_cur, opts.tau_min, opts.tau_max)
+            alpha0 = jnp.minimum(boundary_alpha(z, delta) * tau, 1.0)
+
+            # candidate sweep, first-improvement pick (branch-free)
+            found = jnp.zeros((L,), bool)
+            best_a = jnp.zeros((L,), z.dtype)
+            best_m = jnp.full((L,), _BIG, z.dtype)
+            min_a = alpha0
+            min_m = jnp.full((L,), _BIG, z.dtype)
+            for j in range(opts.max_ls):
+                a_j = alpha0 * (0.5 ** j)
+                m_j = merit_of(res_bl(z - a_j[None, :] * delta, theta,
+                                      0.0), kappa)
+                better = m_j < merit_cur
+                take = jnp.logical_and(better, jnp.logical_not(found))
+                best_a = jnp.where(take, a_j, best_a)
+                best_m = jnp.where(take, m_j, best_m)
+                found = jnp.logical_or(found, better)
+                tmin = m_j < min_m
+                min_a = jnp.where(tmin, a_j, min_a)
+                min_m = jnp.where(tmin, m_j, min_m)
+            alpha = jnp.where(found, best_a, min_a)
+            new_merit = jnp.where(found, best_m, min_m)
+            stalled_new = jnp.logical_not(found)
+
+            z_new = z - alpha[None, :] * delta
+            centered = new_merit < jnp.maximum(opts.center_frac * kappa,
+                                               opts.r_tol)
+            kappa_new = jnp.where(
+                centered,
+                jnp.maximum(kappa * opts.kappa_scale, kappa_final),
+                kappa)
+
+            if has_cones:
+                do_reinit = jnp.logical_and(stalled_new,
+                                            jnp.logical_not(reinit))
+                z_reset = reset_m * reset_t + (1.0 - reset_m) * z_new
+                z_new = jnp.where(do_reinit[None, :], z_reset, z_new)
+                stalled_new = jnp.logical_and(stalled_new, reinit)
+                reinit = jnp.logical_or(reinit, do_reinit)
+
+            z_new = jnp.where(active[None, :], z_new, z)
+            kappa_new = jnp.where(active, kappa_new, kappa)
+            stalled = jnp.where(active, stalled_new, stalled)
+
+            r0_new = res_bl(z_new, theta, 0.0)
+            if has_cones:
+                kv_new = jnp.max(jnp.abs(r0_new) * bil_m, axis=0)
+                kappa_new = jnp.where(
+                    jnp.logical_and(active, do_reinit),
+                    jnp.clip(kv_new, kappa_lo, opts.kappa_init_max),
+                    kappa_new)
+            it = it + active.astype(z.dtype)
+            return (z_new, kappa_new, r0_new, it, stalled, reinit)
+
+        init = (z0, kappa0.astype(z0.dtype), r0,
+                jnp.zeros((L,), z0.dtype),
+                jnp.zeros((L,), bool), jnp.zeros((L,), bool))
+        z, kappa, r0, it, _, _ = jax.lax.fori_loop(
+            0, opts.max_iter, body, init)
+
+        rv = jnp.max(jnp.abs(r0) * eq_m, axis=0)
+        kv = jnp.max(jnp.abs(r0) * bil_m, axis=0)
+        stats = jnp.stack([it, conv(r0).astype(z.dtype), rv, kv], axis=0)
+        return z, stats
+
+    # ---- const lifting: trace once, thread constants as kernel inputs.
+    # Traced with x64 disabled: the kernel pipeline is f32 by design, and
+    # model residuals create default-dtype constants that would otherwise
+    # promote the carry to f64 under x64 test configs.
+    z_aval = jax.ShapeDtypeStruct((nz, LANES), jnp.float32)
+    th_aval = jax.ShapeDtypeStruct((nth, LANES), jnp.float32)
+    with jax.enable_x64(False):
+        closed = jax.make_jaxpr(_body)(z_aval, th_aval)
+    consts = [np.asarray(c) for c in closed.consts]
+    # bools/scalars/1-D consts travel as >=2-D numeric arrays
+    consts_in = []
+    for c in consts:
+        kind = ("bool" if c.dtype == np.bool_ else "num")
+        arr = c.astype(np.int32) if kind == "bool" else c
+        shp = arr.shape
+        if arr.ndim == 0:
+            arr = arr.reshape(1, 1)
+        elif arr.ndim == 1:
+            arr = arr.reshape(1, -1)
+        consts_in.append((jnp.asarray(arr), kind, shp))
+    n_c = len(consts_in)
+
+    def _kernel(*refs):
+        const_refs = refs[:n_c]
+        z0_ref, th_ref, z_ref, stats_ref = refs[n_c:]
+        cvals = []
+        for r, (_, kind, shp) in zip(const_refs, consts_in):
+            v = r[...].reshape(shp)
+            if kind == "bool":
+                v = v.astype(jnp.bool_)
+            cvals.append(v)
+        z, stats = jax.core.eval_jaxpr(
+            closed.jaxpr, cvals, z0_ref[...], th_ref[...])
+        z_ref[...] = z
+        stats_ref[...] = stats
+
+    @jax.jit
+    def solve(z0s: jnp.ndarray, thetas: jnp.ndarray) -> IPSolution:
+        B = z0s.shape[0]
+        Bp = ((B + LANES - 1) // LANES) * LANES
+        pad = Bp - B
+        if pad:
+            z0s = jnp.concatenate(
+                [z0s, jnp.broadcast_to(z0s[:1], (pad, nz))], axis=0)
+            thetas = jnp.concatenate(
+                [thetas, jnp.broadcast_to(thetas[:1], (pad, nth))], axis=0)
+        zt = jnp.moveaxis(z0s.astype(jnp.float32), 0, -1)      # (nz, Bp)
+        tht = jnp.moveaxis(thetas.astype(jnp.float32), 0, -1)  # (nth, Bp)
+
+        grid = (Bp // LANES,)
+        const_specs = [
+            pl.BlockSpec(c.shape, (lambda i, nd=c.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+            for c, _, _ in consts_in
+        ]
+        z_out, stats = pl.pallas_call(
+            _kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((nz, Bp), jnp.float32),
+                jax.ShapeDtypeStruct((4, Bp), jnp.float32),
+            ],
+            grid=grid,
+            in_specs=const_specs + [
+                pl.BlockSpec((nz, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nth, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nz, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            interpret=interpret,
+        )(*[c for c, _, _ in consts_in], zt, tht)
+        z = jnp.moveaxis(z_out, -1, 0)[:B]
+        stats = jnp.moveaxis(stats, -1, 0)[:B]
+        return IPSolution(
+            z=z,
+            iterations=stats[:, 0].astype(jnp.int32),
+            converged=stats[:, 1] > 0.5,
+            r_vio=stats[:, 2],
+            kappa_vio=stats[:, 3])
+
+    return solve
