@@ -44,10 +44,16 @@ def variational_dynamics(mass_matrix, dynamics_bias, h, q0, q1, q2, control,
     qm2 = 0.5 * (q1 + q2)
     vm2 = (q2 - q1) / h
 
+    # matvec as multiply-reduce: identical math, but lowers to elementwise
+    # ops + a reduction instead of dot_general — required for tracing the
+    # residual inside Pallas kernels (Mosaic cannot lower the
+    # vmap(jvp(matmul)) dot_general/reshape chain for these tiny systems)
+    mv = lambda A, v: jnp.sum(A * v[None, :], axis=1)
+
     d1l1 = -dynamics_bias(qm1, vm1)
-    d2l1 = mass_matrix(qm1) @ vm1
+    d2l1 = mv(mass_matrix(qm1), vm1)
     d1l2 = -dynamics_bias(qm2, vm2)
-    d2l2 = mass_matrix(qm2) @ vm2
+    d2l2 = mv(mass_matrix(qm2), vm2)
 
     d = 0.5 * h * d1l1 + d2l1 + 0.5 * h * d1l2 - d2l2 + control
     if contact_force is not None:

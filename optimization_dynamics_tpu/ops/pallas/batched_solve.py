@@ -57,19 +57,22 @@ def _qr_solve_block(A, b):
         inv = jnp.where(vnorm2 > 0, 2.0 / jnp.where(vnorm2 > 0, vnorm2, 1.0),
                         0.0)                   # (1, L)
 
-        # H = I - inv v v^T applied to R (columns >= i) and to y (all)
-        w = jnp.einsum("rL,rcL->cL", v, R)     # (n, L)
+        # H = I - inv v v^T applied to R (columns >= i) and to y (all).
+        # Contractions as broadcast-multiply-reduce: Mosaic's tpu.matmul
+        # cannot express a lanes-batched matvec ("batch dims must be
+        # equal"), and at n <= 35 the VPU form is the right shape anyway.
+        w = jnp.sum(v[:, None, :] * R, axis=0)             # (n, L)
         R_new = R - inv[None, :, :] * v[:, None, :] * w[None, :, :]
         colmask = (row >= i)[None, :, 0:1]     # (1, n, 1) over column axis
         R = jnp.where(colmask, R_new, R)
-        wy = jnp.einsum("rL,rcL->cL", v, y)    # (k, L)
+        wy = jnp.sum(v[:, None, :] * y, axis=0)            # (k, L)
         y = y - inv[None, :, :] * v[:, None, :] * wy[None, :, :]
 
     # back substitution on the upper-triangular R
     xsol = jnp.zeros_like(y)
     for i in range(n - 1, -1, -1):
         r_i = jnp.where((row[:, 0] > i)[:, None], R[i], 0.0)   # (n, L)
-        acc = y[i] - jnp.einsum("cL,ckL->kL", r_i, xsol)       # (k, L)
+        acc = y[i] - jnp.sum(r_i[:, None, :] * xsol, axis=0)   # (k, L)
         diag = R[i, i, :]
         safe = jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
         upd = (acc / safe[None, :])[None, :, :]                # (1, k, L)

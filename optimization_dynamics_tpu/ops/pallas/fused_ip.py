@@ -55,18 +55,23 @@ _BIG = 1e12
 
 
 def _orthant_alpha(z_o, d_o):
-    """Max alpha with ``z_o - alpha d_o >= 0``; blocks (k, L) -> (L,)."""
+    """Max alpha with ``z_o - alpha d_o >= 0``; blocks (k, L) -> (1, L).
+
+    All per-lane quantities in this module stay 2-D (1, L): Mosaic cannot
+    lower 1-D (L,) boolean vectors (i1 truncation), and 2-D blocks map
+    cleanly onto (sublane, lane) vregs.
+    """
     ratio = jnp.where(d_o > 0, z_o / jnp.where(d_o > 0, d_o, 1.0), _BIG)
-    return jnp.min(ratio, axis=0)
+    return jnp.min(ratio, axis=0, keepdims=True)
 
 
 def _soc_alpha(z_g, d_g):
-    """Max alpha keeping ``z_g - alpha d_g`` in the SOC; (k, L) -> (L,)."""
-    z0, z1 = z_g[0], z_g[1:]
-    d0, d1 = d_g[0], d_g[1:]
-    A = d0 * d0 - jnp.sum(d1 * d1, axis=0)
-    Bq = -2.0 * (z0 * d0 - jnp.sum(z1 * d1, axis=0))
-    C = z0 * z0 - jnp.sum(z1 * z1, axis=0)
+    """Max alpha keeping ``z_g - alpha d_g`` in the SOC; (k, L) -> (1, L)."""
+    z0, z1 = z_g[0:1], z_g[1:]
+    d0, d1 = d_g[0:1], d_g[1:]
+    A = d0 * d0 - jnp.sum(d1 * d1, axis=0, keepdims=True)
+    Bq = -2.0 * (z0 * d0 - jnp.sum(z1 * d1, axis=0, keepdims=True))
+    C = z0 * z0 - jnp.sum(z1 * z1, axis=0, keepdims=True)
     a_axis = jnp.where(d0 > 0, z0 / jnp.where(d0 > 0, d0, 1.0), _BIG)
     disc = Bq * Bq - 4.0 * A * C
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -126,8 +131,8 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
                 for p, d in zip(spec.soc_prim, spec.soc_dual)]
 
     def boundary_alpha(z, d):
-        """(nz, L) blocks -> (L,) max feasible step."""
-        a = jnp.full((z.shape[1],), _BIG, z.dtype)
+        """(nz, L) blocks -> (1, L) max feasible step."""
+        a = jnp.full((1, z.shape[1]), _BIG, z.dtype)
         if ort_sel is not None:
             a = jnp.minimum(a, _orthant_alpha(ort_sel @ z, ort_sel @ d))
         for Sp, Sd in soc_sels:
@@ -136,104 +141,102 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
         return jnp.minimum(a, 1.0)
 
     def merit_of(r0, kappa):
-        # r0 (nz, L), kappa (L,) -> (L,)
-        return jnp.max(jnp.abs(r0 - kappa[None, :] * head_m), axis=0)
+        # r0 (nz, L), kappa (1, L) -> (1, L)
+        return jnp.max(jnp.abs(r0 - kappa * head_m), axis=0, keepdims=True)
 
     def _body(z0, theta):
         """Pure kernel body: (nz, L), (nth, L) -> (z, stats). Traced to a
         jaxpr so its array constants (cone masks, model index tables) can
-        be threaded in as kernel inputs — Pallas forbids captured
-        consts."""
+        be threaded in as kernel inputs — Pallas forbids captured consts.
+        Per-lane flags stay f32 (1, L) masks: Mosaic cannot lower 1-D
+        boolean vectors."""
         L = z0.shape[1]
+        one = jnp.ones((1, L), z0.dtype)
+        zero = jnp.zeros((1, L), z0.dtype)
 
         r0 = res_bl(z0, theta, 0.0)
-        kv0 = jnp.max(jnp.abs(r0) * bil_m, axis=0)
+        kv0 = jnp.max(jnp.abs(r0) * bil_m, axis=0, keepdims=True)
         if has_cones:
             kappa0 = jnp.clip(kv0, kappa_lo, opts.kappa_init_max)
         else:
-            kappa0 = jnp.full((L,), kappa_final, z0.dtype)
+            kappa0 = jnp.full((1, L), kappa_final, z0.dtype)
 
-        def conv(r0):
-            return merit_of(r0, jnp.full((L,), kappa_final, z0.dtype)) \
-                < opts.r_tol
+        def conv_mask(r0):
+            # f32 mask (1, L): 1.0 where converged
+            m = merit_of(r0, jnp.full((1, L), kappa_final, z0.dtype))
+            return (m < opts.r_tol).astype(z0.dtype)
 
         def body(_, carry):
             z, kappa, r0, it, stalled, reinit = carry
-            active = jnp.logical_not(
-                jnp.logical_or(conv(r0), stalled))
+            active = (1.0 - conv_mask(r0)) * (1.0 - stalled)   # (1, L)
 
             J = jac_bl(z, theta)               # (nz, nz, L)
             if opts.gamma_reg > 0.0:
-                J = J + (opts.gamma_reg * kappa)[None, None, :] \
+                J = J + (opts.gamma_reg * kappa)[None] \
                     * jnp.eye(nz, dtype=z.dtype)[:, :, None]
-            r_k = r0 - kappa[None, :] * head_m
-            merit_cur = jnp.max(jnp.abs(r_k), axis=0)
+            r_k = r0 - kappa * head_m
+            merit_cur = jnp.max(jnp.abs(r_k), axis=0, keepdims=True)
             delta = _qr_solve_block(J, r_k[:, None, :])[:, 0, :]  # (nz, L)
 
             tau = jnp.clip(1.0 - merit_cur, opts.tau_min, opts.tau_max)
             alpha0 = jnp.minimum(boundary_alpha(z, delta) * tau, 1.0)
 
-            # candidate sweep, first-improvement pick (branch-free)
-            found = jnp.zeros((L,), bool)
-            best_a = jnp.zeros((L,), z.dtype)
-            best_m = jnp.full((L,), _BIG, z.dtype)
+            # candidate sweep, first-improvement pick (branch-free masks)
+            found = zero
+            best_a = zero
+            best_m = jnp.full((1, L), _BIG, z.dtype)
             min_a = alpha0
-            min_m = jnp.full((L,), _BIG, z.dtype)
+            min_m = jnp.full((1, L), _BIG, z.dtype)
             for j in range(opts.max_ls):
                 a_j = alpha0 * (0.5 ** j)
-                m_j = merit_of(res_bl(z - a_j[None, :] * delta, theta,
-                                      0.0), kappa)
-                better = m_j < merit_cur
-                take = jnp.logical_and(better, jnp.logical_not(found))
-                best_a = jnp.where(take, a_j, best_a)
-                best_m = jnp.where(take, m_j, best_m)
-                found = jnp.logical_or(found, better)
-                tmin = m_j < min_m
-                min_a = jnp.where(tmin, a_j, min_a)
-                min_m = jnp.where(tmin, m_j, min_m)
-            alpha = jnp.where(found, best_a, min_a)
-            new_merit = jnp.where(found, best_m, min_m)
-            stalled_new = jnp.logical_not(found)
+                m_j = merit_of(res_bl(z - a_j * delta, theta, 0.0), kappa)
+                better = (m_j < merit_cur).astype(z.dtype)
+                take = better * (1.0 - found)
+                best_a = take * a_j + (1.0 - take) * best_a
+                best_m = take * m_j + (1.0 - take) * best_m
+                found = jnp.maximum(found, better)
+                tmin = (m_j < min_m).astype(z.dtype)
+                min_a = tmin * a_j + (1.0 - tmin) * min_a
+                min_m = tmin * m_j + (1.0 - tmin) * min_m
+            alpha = found * best_a + (1.0 - found) * min_a
+            new_merit = found * best_m + (1.0 - found) * min_m
+            stalled_new = 1.0 - found
 
-            z_new = z - alpha[None, :] * delta
-            centered = new_merit < jnp.maximum(opts.center_frac * kappa,
-                                               opts.r_tol)
-            kappa_new = jnp.where(
-                centered,
-                jnp.maximum(kappa * opts.kappa_scale, kappa_final),
-                kappa)
+            z_new = z - alpha * delta
+            centered = (new_merit < jnp.maximum(
+                opts.center_frac * kappa, opts.r_tol)).astype(z.dtype)
+            kappa_adv = jnp.maximum(kappa * opts.kappa_scale, kappa_final)
+            kappa_new = centered * kappa_adv + (1.0 - centered) * kappa
 
             if has_cones:
-                do_reinit = jnp.logical_and(stalled_new,
-                                            jnp.logical_not(reinit))
+                do_reinit = stalled_new * (1.0 - reinit)
                 z_reset = reset_m * reset_t + (1.0 - reset_m) * z_new
-                z_new = jnp.where(do_reinit[None, :], z_reset, z_new)
-                stalled_new = jnp.logical_and(stalled_new, reinit)
-                reinit = jnp.logical_or(reinit, do_reinit)
+                z_new = do_reinit * z_reset + (1.0 - do_reinit) * z_new
+                stalled_new = stalled_new * reinit
+                reinit = jnp.maximum(reinit, do_reinit)
 
-            z_new = jnp.where(active[None, :], z_new, z)
-            kappa_new = jnp.where(active, kappa_new, kappa)
-            stalled = jnp.where(active, stalled_new, stalled)
+            z_new = active * z_new + (1.0 - active) * z
+            kappa_new = active * kappa_new + (1.0 - active) * kappa
+            stalled = active * stalled_new + (1.0 - active) * stalled
 
             r0_new = res_bl(z_new, theta, 0.0)
             if has_cones:
-                kv_new = jnp.max(jnp.abs(r0_new) * bil_m, axis=0)
-                kappa_new = jnp.where(
-                    jnp.logical_and(active, do_reinit),
-                    jnp.clip(kv_new, kappa_lo, opts.kappa_init_max),
-                    kappa_new)
-            it = it + active.astype(z.dtype)
+                kv_new = jnp.max(jnp.abs(r0_new) * bil_m, axis=0,
+                                 keepdims=True)
+                take_k = active * do_reinit
+                kappa_new = take_k * jnp.clip(kv_new, kappa_lo,
+                                              opts.kappa_init_max) \
+                    + (1.0 - take_k) * kappa_new
+            it = it + active
             return (z_new, kappa_new, r0_new, it, stalled, reinit)
 
-        init = (z0, kappa0.astype(z0.dtype), r0,
-                jnp.zeros((L,), z0.dtype),
-                jnp.zeros((L,), bool), jnp.zeros((L,), bool))
+        init = (z0, kappa0.astype(z0.dtype), r0, zero, zero, zero)
         z, kappa, r0, it, _, _ = jax.lax.fori_loop(
             0, opts.max_iter, body, init)
 
-        rv = jnp.max(jnp.abs(r0) * eq_m, axis=0)
-        kv = jnp.max(jnp.abs(r0) * bil_m, axis=0)
-        stats = jnp.stack([it, conv(r0).astype(z.dtype), rv, kv], axis=0)
+        rv = jnp.max(jnp.abs(r0) * eq_m, axis=0, keepdims=True)
+        kv = jnp.max(jnp.abs(r0) * bil_m, axis=0, keepdims=True)
+        stats = jnp.concatenate([it, conv_mask(r0), rv, kv], axis=0)
         return z, stats
 
     # ---- const lifting: trace once, thread constants as kernel inputs.
@@ -310,6 +313,11 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
                 pl.BlockSpec((4, LANES), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
+            # the unrolled QR + jacfwd chain peaks slightly above the
+            # 16 MB default scoped-vmem budget at nz ~ 10; the kernel's
+            # true working set is tiny, so raise the cap
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(*[c for c, _, _ in consts_in], zt, tht)
         z = jnp.moveaxis(z_out, -1, 0)[:B]

@@ -52,4 +52,4 @@ def test_kkt_like_systems():
     b = rng.normal(size=(B, n, 1)).astype(np.float32)
     x = batched_solve_reference(jnp.asarray(A), jnp.asarray(b))
     res = np.einsum("bij,bjk->bik", A, np.asarray(x)) - b
-    assert np.max(np.abs(res)) < 1e-3
+    assert np.max(np.abs(res)) < 2e-3
