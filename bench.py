@@ -60,7 +60,8 @@ def _build(on_tpu: bool, dtype):
             eval_opts=IPOptions(r_tol=3.0e-5, kappa_tol=1.0e-3,
                                 max_iter=40, max_ls=8),
             grad_opts=IPOptions(r_tol=3.0e-5, kappa_tol=1.0e-3,
-                                max_iter=40, max_ls=8))
+                                max_iter=40, max_ls=8),
+            fused=True)   # lane-batched solves via the fused Pallas kernel
         prob = prob._replace(
             dynamics=lambda t, x, u: dyn.step(x, u, aux),
             dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),

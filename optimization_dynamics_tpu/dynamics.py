@@ -101,6 +101,7 @@ def make_implicit_dynamics(
     eval_opts: IPOptions | None = None,
     grad_opts: IPOptions | None = None,
     mehrotra: bool = False,
+    fused: bool = False,
 ) -> ImplicitDynamics:
     nq = model.nq
     # kappa_init_min: warm-started steps (step_carry) keep a short
@@ -115,8 +116,18 @@ def make_implicit_dynamics(
 
     eval_solve = make_solver(model.residual, model.spec, eval_opts)
     grad_solve = make_solver(model.residual, model.spec, grad_opts)
-    grad_solve_batched = make_solver_batched(model.residual, model.spec,
-                                             grad_opts)
+    if fused:
+        # lane-batched solves through the fused Pallas kernel (f32, TPU):
+        # the whole path-following solve in one VMEM-resident kernel
+        # (ops/pallas/fused_ip.py) — ~3x the XLA batched-native path
+        from optimization_dynamics_tpu.ops.pallas.fused_ip import (
+            make_fused_ip_solver,
+        )
+        grad_solve_batched = make_fused_ip_solver(
+            model.residual, model.spec, grad_opts)
+    else:
+        grad_solve_batched = make_solver_batched(model.residual,
+                                                 model.spec, grad_opts)
     sens = make_sensitivity(model.residual, model.spec)
     sens_batched = make_sensitivity_batched(model.residual, model.spec)
 
@@ -158,8 +169,15 @@ def make_implicit_dynamics(
             [jnp.zeros((nq, dq_du.shape[1]), dtype=x.dtype), dq_du], axis=0)
         return y, fx, fu
 
-    eval_solve_batched = make_solver_batched(model.residual, model.spec,
-                                             eval_opts)
+    if fused:
+        from optimization_dynamics_tpu.ops.pallas.fused_ip import (
+            make_fused_ip_solver,
+        )
+        eval_solve_batched = make_fused_ip_solver(
+            model.residual, model.spec, eval_opts)
+    else:
+        eval_solve_batched = make_solver_batched(model.residual,
+                                                 model.spec, eval_opts)
 
     def step_batched(xs, us, aux):
         """Lane-batched eval step through the batched-native solver."""

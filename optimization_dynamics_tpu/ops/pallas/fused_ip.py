@@ -91,7 +91,8 @@ def _soc_alpha(z_g, d_g):
 
 def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
                          opts: IPOptions,
-                         interpret: bool = False) -> Callable:
+                         interpret: bool = False,
+                         early_exit: bool = True) -> Callable:
     """Build ``solve(z0s (B, nz), thetas (B, ntheta)) -> IPSolution``.
 
     Drop-in for ``make_solver_batched`` (f32; geometric schedule). B is
@@ -231,8 +232,26 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
             return (z_new, kappa_new, r0_new, it, stalled, reinit)
 
         init = (z0, kappa0.astype(z0.dtype), r0, zero, zero, zero)
-        z, kappa, r0, it, _, _ = jax.lax.fori_loop(
-            0, opts.max_iter, body, init)
+        if early_exit:
+            # while-loop with a scalar all-lanes-done test: warm-started
+            # steps converge in ~8-12 iterations, so exiting early beats
+            # the fixed max_iter fori budget ~3x on rollouts
+            def w_cond(c):
+                i, carry = c
+                _, _, r0_c, _, stalled_c, _ = carry
+                act = (1.0 - conv_mask(r0_c)) * (1.0 - stalled_c)
+                return jnp.logical_and(i < opts.max_iter,
+                                       jnp.max(act) > 0.0)
+
+            def w_body(c):
+                i, carry = c
+                return (i + 1, body(i, carry))
+
+            _, (z, kappa, r0, it, _, _) = jax.lax.while_loop(
+                w_cond, w_body, (jnp.asarray(0, jnp.int32), init))
+        else:
+            z, kappa, r0, it, _, _ = jax.lax.fori_loop(
+                0, opts.max_iter, body, init)
 
         rv = jnp.max(jnp.abs(r0) * eq_m, axis=0, keepdims=True)
         kv = jnp.max(jnp.abs(r0) * bil_m, axis=0, keepdims=True)
