@@ -43,6 +43,7 @@ def _setup_jax():
 
 
 def _build(on_tpu: bool, dtype):
+    import jax
     import jax.numpy as jnp
 
     from optimization_dynamics_tpu.dynamics import make_implicit_dynamics
@@ -70,7 +71,14 @@ def _build(on_tpu: bool, dtype):
             dynamics_batched=lambda t, xs, us: dyn.step_batched(
                 xs, us, aux),
             dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
-            carry_init=dyn.carry_init)
+            carry_init=dyn.carry_init,
+            # same-timestep warm starts for the batched phases (~1 warm
+            # Newton iteration vs ~20 cold in the line-search rollouts)
+            dynamics_batched_ws=lambda t, xs, us, ws: dyn.step_batched_ws(
+                xs, us, aux, ws),
+            dynamics_jac_batched_ws=lambda ts, xs, us, wss:
+                dyn.step_jac_batched_ws(xs, us, aux, wss),
+            ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs))
         opts = dataclasses.replace(opts, con_tol=0.01)
     else:
         from optimization_dynamics_tpu.dynamics import (

@@ -88,6 +88,12 @@ class ImplicitDynamics:
     step_jac: Callable
     step_batched: Callable      # (xs, us, aux) -> ys (lane-batched eval)
     step_jac_batched: Callable  # (xs, us, aux) -> (ys, fxs, fus)
+    # warm-started lane-batched variants: z0s are solver variables from a
+    # previous solve of the same timestep (the scalar solver's
+    # ``dynamics_ws`` semantics; kappa_init_min keeps the central-path
+    # continuation branch-consistent, docs/DESIGN.md §3)
+    step_batched_ws: Callable      # (xs, us, aux, z0s) -> (ys, zs)
+    step_jac_batched_ws: Callable  # (xs, us, aux, z0s) -> (ys,fxs,fus,zs)
     step_diff: Callable   # custom_vjp-wrapped step for generic autodiff
     step_carry: Callable  # (z_prev, x, u, aux) -> (y, z): warm-started
     carry_init: Callable  # (x0,) -> initial warm-start variables
@@ -189,16 +195,7 @@ def make_implicit_dynamics(
         sols = eval_solve_batched(z0s, thetas)
         return jnp.concatenate([q1s, sols.z[:, q_sel]], axis=1)
 
-    def step_jac_batched(xs, us, aux):
-        """Whole-trajectory Jacobian sweep via the batched-native solver:
-        one masked while_loop for all timesteps instead of
-        vmap-of-while (cheaper to trace, friendlier to the compiler)."""
-        q0s = xs[:, :nq]
-        q1s = xs[:, nq:2 * nq]
-        thetas = jax.vmap(lambda q0, q1, u: model.theta_fn(q0, q1, u, aux))(
-            q0s, q1s, us)
-        z0s = jax.vmap(model.init_z)(q1s)
-        sols = grad_solve_batched(z0s, thetas)
+    def _jac_from_sol(xs, q1s, thetas, sols):
         q2s = sols.z[:, q_sel]
         ys = jnp.concatenate([q1s, q2s], axis=1)
         dzs = sens_batched(sols.z, thetas)
@@ -213,6 +210,35 @@ def make_implicit_dynamics(
         fus = jnp.concatenate(
             [jnp.zeros((B, nq, du.shape[2]), xs.dtype), du], axis=1)
         return ys, fxs, fus
+
+    def _thetas_of(xs, us, aux):
+        q0s = xs[:, :nq]
+        q1s = xs[:, nq:2 * nq]
+        thetas = jax.vmap(lambda q0, q1, u: model.theta_fn(q0, q1, u, aux))(
+            q0s, q1s, us)
+        return q1s, thetas
+
+    def step_jac_batched(xs, us, aux):
+        """Whole-trajectory Jacobian sweep via the batched-native solver:
+        one masked while_loop for all timesteps instead of
+        vmap-of-while (cheaper to trace, friendlier to the compiler)."""
+        q1s, thetas = _thetas_of(xs, us, aux)
+        sols = grad_solve_batched(jax.vmap(model.init_z)(q1s), thetas)
+        return _jac_from_sol(xs, q1s, thetas, sols)
+
+    def step_jac_batched_ws(xs, us, aux, z0s):
+        """Warm-started Jacobian sweep; also returns the solver variables
+        for threading into the next sweep."""
+        q1s, thetas = _thetas_of(xs, us, aux)
+        sols = grad_solve_batched(z0s, thetas)
+        ys, fxs, fus = _jac_from_sol(xs, q1s, thetas, sols)
+        return ys, fxs, fus, sols.z
+
+    def step_batched_ws(xs, us, aux, z0s):
+        """Warm-started lane-batched eval step -> (ys, zs)."""
+        q1s, thetas = _thetas_of(xs, us, aux)
+        sols = eval_solve_batched(z0s, thetas)
+        return jnp.concatenate([q1s, sols.z[:, q_sel]], axis=1), sols.z
 
     def step_carry(z_prev, x, u, aux):
         """Step warm-started from the previous timestep's solver variables
@@ -250,6 +276,8 @@ def make_implicit_dynamics(
         step_jac=step_jac,
         step_batched=step_batched,
         step_jac_batched=step_jac_batched,
+        step_batched_ws=step_batched_ws,
+        step_jac_batched_ws=step_jac_batched_ws,
         step_diff=step_diff,
         step_carry=step_carry,
         carry_init=carry_init,

@@ -113,6 +113,13 @@ class ILQRProblem(NamedTuple):
     # change slowly along a single rollout)
     dynamics_carry: Optional[Callable] = None    # (t, x, u, c) -> (y, c)
     carry_init: Optional[Callable] = None        # (x0,) -> carry pytree
+    # warm-started lane-batched variants for the batched/segmented phases
+    # (same-timestep warm starts, the batched analog of dynamics_ws):
+    dynamics_batched_ws: Optional[Callable] = None
+    # (t, xs, us, ws (B,nz)) -> (ys, ws')
+    dynamics_jac_batched_ws: Optional[Callable] = None
+    # (ts, xs, us, wss (N,nz)) -> (ys, fxs, fus, wss')
+    ws_init_batched: Optional[Callable] = None   # (t, xs, us) -> ws (B,nz)
 
 
 class ILQRResult(NamedTuple):

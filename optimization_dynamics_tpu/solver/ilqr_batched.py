@@ -75,15 +75,30 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
     stage_al_v = jax.vmap(stage_al, in_axes=(None, 0, 0, 0, 0))
     terminal_al_v = jax.vmap(terminal_al, in_axes=(0, 0, 0))
 
+    # same-timestep warm starts (the batched dynamics_ws): line-search
+    # rollouts and derivative sweeps re-solve each timestep's IP problem
+    # from the previous accepted trajectory's solver variables —
+    # measured ~1 Newton iteration warm vs ~20 cold
+    has_bws = (prob.dynamics_batched_ws is not None
+               and prob.ws_init_batched is not None)
+
     def rollout_open(x0s, uss):
+        """Open-loop rollout; with warm starts also returns the per-step
+        solver variables ``wss (B, T-1, nws)`` seeding the first sweep."""
         def f(xs, tu):
             t, us = tu
+            if has_bws:
+                ws0 = prob.ws_init_batched(t, xs, us)
+                ys, ws = prob.dynamics_batched_ws(t, xs, us, ws0)
+                return ys, (ys, ws)
             ys = prob.dynamics_batched(t, xs, us)
-            return ys, ys
+            return ys, (ys, jnp.zeros((xs.shape[0], 1), xs.dtype))
 
-        _, yss = jax.lax.scan(f, x0s, (ts, jnp.swapaxes(uss, 0, 1)))
-        return jnp.concatenate([x0s[:, None], jnp.swapaxes(yss, 0, 1)],
-                               axis=1)
+        _, (yss, wss) = jax.lax.scan(f, x0s,
+                                     (ts, jnp.swapaxes(uss, 0, 1)))
+        xss = jnp.concatenate([x0s[:, None], jnp.swapaxes(yss, 0, 1)],
+                              axis=1)
+        return xss, jnp.swapaxes(wss, 0, 1)
 
     def traj_cost(xss, uss, lams, lamTs, rhos):
         def per_t(t):
@@ -91,33 +106,44 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         Js = jax.vmap(per_t)(ts)                 # (T-1, B)
         return jnp.sum(Js, axis=0) + terminal_al_v(xss[:, -1], lamTs, rhos)
 
-    def closed_loop(xss_ref, uss_ref, Kss, kss, alphas, lams, lamTs, rhos):
-        """alphas: (B,). Returns xss, uss, Js."""
+    def closed_loop(xss_ref, uss_ref, Kss, kss, alphas, lams, lamTs, rhos,
+                    wss):
+        """alphas: (B,). Returns xss, uss, Js, wss_new."""
         def f(carry, inp):
             xs, Js = carry
-            t, xs_ref_t, us_ref_t, Ks_t, ks_t = inp
+            t, xs_ref_t, us_ref_t, Ks_t, ks_t, ws_t = inp
             us = (us_ref_t + alphas[:, None] * ks_t
                   + jnp.einsum("bij,bj->bi", Ks_t, xs - xs_ref_t))
             us = jnp.where(prob.u_mask[t][None], us, us_ref_t)
             Js = Js + stage_al_v(t, xs, us, lams[:, t], rhos)
-            ys = prob.dynamics_batched(t, xs, us)
-            return (ys, Js), (xs, us)
+            if has_bws:
+                ys, ws_new = prob.dynamics_batched_ws(t, xs, us, ws_t)
+            else:
+                ys = prob.dynamics_batched(t, xs, us)
+                ws_new = ws_t
+            return (ys, Js), (xs, us, ws_new)
 
-        (xTs, Js), (xss, uss) = jax.lax.scan(
+        (xTs, Js), (xss, uss, wss_new) = jax.lax.scan(
             f, (xss_ref[:, 0], jnp.zeros(xss_ref.shape[0], dtype)),
             (ts, jnp.swapaxes(xss_ref[:, :-1], 0, 1),
              jnp.swapaxes(uss_ref, 0, 1),
-             jnp.swapaxes(Kss, 0, 1), jnp.swapaxes(kss, 0, 1)))
+             jnp.swapaxes(Kss, 0, 1), jnp.swapaxes(kss, 0, 1),
+             jnp.swapaxes(wss, 0, 1)))
         Js = Js + terminal_al_v(xTs, lamTs, rhos)
         xss = jnp.concatenate(
             [jnp.swapaxes(xss, 0, 1), xTs[:, None]], axis=1)
-        return xss, jnp.swapaxes(uss, 0, 1), Js
+        return (xss, jnp.swapaxes(uss, 0, 1), Js,
+                jnp.swapaxes(wss_new, 0, 1))
 
-    def derivatives(xss, uss, lams, lamTs, rhos):
+    def derivatives(xss, uss, lams, lamTs, rhos, wss):
         flat_x = xss[:, :-1].reshape(B * (T - 1), nx)
         flat_u = uss.reshape(B * (T - 1), nu)
         flat_t = jnp.tile(ts, B)
-        if prob.dynamics_jac_batched is not None:
+        if has_bws and prob.dynamics_jac_batched_ws is not None:
+            flat_w = wss.reshape(B * (T - 1), -1)
+            _, fxs, fus, _ = prob.dynamics_jac_batched_ws(
+                flat_t, flat_x, flat_u, flat_w)
+        elif prob.dynamics_jac_batched is not None:
             _, fxs, fus = prob.dynamics_jac_batched(flat_t, flat_x, flat_u)
         else:
             _, fxs, fus = jax.vmap(prob.dynamics_jac)(flat_t, flat_x,
@@ -191,14 +217,15 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
     n_alpha = int(math.ceil(math.log2(1.0 / opts.alpha_min))) + 1
     alpha_grid = (0.5 ** jnp.arange(n_alpha)).astype(dtype)
 
-    def line_search(xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos):
+    def line_search(xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos,
+                    wss):
         """(lane x alpha) grid as one batched rollout of B*A lanes."""
         A = n_alpha
         rep = lambda a: jnp.repeat(a, A, axis=0)
         alphas_flat = jnp.tile(alpha_grid, B)           # (B*A,)
-        xss_c, uss_c, Js_c = closed_loop(
+        xss_c, uss_c, Js_c, wss_c = closed_loop(
             rep(xss), rep(uss), rep(Kss), rep(kss), alphas_flat,
-            rep(lams), rep(lamTs), rep(rhos))
+            rep(lams), rep(lamTs), rep(rhos), rep(wss))
         Js_c = Js_c.reshape(B, A)
         expected = (alpha_grid[None] * dV1[:, None]
                     + alpha_grid[None] ** 2 * dV2[:, None])
@@ -210,15 +237,15 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         pick = jnp.argmax(ok, axis=1)
         sel = jnp.arange(B) * A + pick
         return (xss_c[sel], uss_c[sel], Js_c[jnp.arange(B), pick],
-                accepted)
+                accepted, wss_c[sel])
 
-    def inner_step(xss, uss, Js, regs, lams, lamTs, rhos, active):
+    def inner_step(xss, uss, Js, regs, lams, lamTs, rhos, active, wss):
         """One iLQR iteration for every active lane; returns the updated
-        (xss, uss, Js, regs) plus the per-lane convergence signals."""
-        d = derivatives(xss, uss, lams, lamTs, rhos)
+        (xss, uss, Js, regs, wss) plus the per-lane convergence signals."""
+        d = derivatives(xss, uss, lams, lamTs, rhos, wss)
         Kss, kss, dV1, dV2, qu_inf, bp_ok = backward(*d, regs)
-        xss_n, uss_n, Js_n, accepted = line_search(
-            xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos)
+        xss_n, uss_n, Js_n, accepted, wss_n = line_search(
+            xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos, wss)
         ls_failed = jnp.logical_not(jnp.logical_and(accepted, bp_ok))
         regs_n = jnp.where(
             ls_failed,
@@ -229,6 +256,7 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         uss_n = jnp.where(keep[:, None, None], uss, uss_n)
         Js_n = jnp.where(keep, Js, Js_n)
         regs_n = jnp.where(active, regs_n, regs)
+        wss_n = jnp.where(keep[:, None, None], wss, wss_n)
 
         grad_small = qu_inf < opts.grad_tol
         obj_small = jnp.abs(Js - Js_n) < opts.obj_tol
@@ -237,7 +265,7 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
             grad_small,
             jnp.logical_or(jnp.logical_and(accepted, obj_small),
                            jnp.logical_and(ls_failed, reg_capped)))
-        return xss_n, uss_n, Js_n, regs_n, newly_done
+        return xss_n, uss_n, Js_n, regs_n, wss_n, newly_done
 
     has_con = prob.stage_con is not None
     has_conT = prob.terminal_con is not None
@@ -306,45 +334,47 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
 
     ph = make_phases(prob, opts, B, dtype)
 
-    def inner(xss, uss, lams, lamTs, rhos, act_al):
+    def inner(xss, uss, wss, lams, lamTs, rhos, act_al):
         def cond(s):
-            xss, uss, Js, regs, it, done = s
+            xss, uss, Js, regs, wss, it, done = s
             return jnp.any(jnp.logical_and(
                 jnp.logical_not(done), it < opts.max_iter))
 
         def body(s):
-            xss, uss, Js, regs, it, done = s
+            xss, uss, Js, regs, wss, it, done = s
             active = jnp.logical_and(jnp.logical_not(done),
                                      jnp.logical_and(act_al,
                                                      it < opts.max_iter))
-            xss_n, uss_n, Js_n, regs_n, newly_done = ph.inner_step(
-                xss, uss, Js, regs, lams, lamTs, rhos, active)
+            xss_n, uss_n, Js_n, regs_n, wss_n, newly_done = ph.inner_step(
+                xss, uss, Js, regs, lams, lamTs, rhos, active, wss)
             done_n = jnp.logical_or(done, newly_done)
             it_n = it + active.astype(jnp.int32)
-            return (xss_n, uss_n, Js_n, regs_n, it_n, done_n)
+            return (xss_n, uss_n, Js_n, regs_n, wss_n, it_n, done_n)
 
         Js0 = ph.traj_cost(xss, uss, lams, lamTs, rhos)
-        state = (xss, uss, Js0, jnp.full(B, opts.reg_init, dtype),
+        state = (xss, uss, Js0, jnp.full(B, opts.reg_init, dtype), wss,
                  jnp.zeros(B, jnp.int32),
                  jnp.logical_not(act_al))
-        xss, uss, Js, regs, its, _ = jax.lax.while_loop(cond, body, state)
-        return xss, uss, Js, its
+        xss, uss, Js, regs, wss, its, _ = jax.lax.while_loop(
+            cond, body, state)
+        return xss, uss, wss, Js, its
 
-    xss0 = ph.rollout_open(x0s, us_init)
+    xss0, wss0 = ph.rollout_open(x0s, us_init)
     lams0 = jnp.zeros((B, T - 1, max(ncon, 1)), dtype)
     lamTs0 = jnp.zeros((B, max(nconT, 1)), dtype)
     rhos0 = jnp.full(B, opts.rho_init, dtype)
 
     def al_cond(s):
-        xss, uss, lams, lamTs, rhos, its, al_it, vio = s
+        xss, uss, wss, lams, lamTs, rhos, its, al_it, vio = s
         return jnp.logical_and(
             al_it < opts.max_al_iter,
             jnp.any(jnp.logical_not(vio < opts.con_tol)))
 
     def al_body(s):
-        xss, uss, lams, lamTs, rhos, its, al_it, vio = s
+        xss, uss, wss, lams, lamTs, rhos, its, al_it, vio = s
         act = jnp.logical_not(vio < opts.con_tol)
-        xss, uss, Js, inner_its = inner(xss, uss, lams, lamTs, rhos, act)
+        xss, uss, wss, Js, inner_its = inner(xss, uss, wss, lams, lamTs,
+                                             rhos, act)
         its = its + inner_its
         vio_n = ph.con_violation(xss, uss)
         vio = jnp.where(act, vio_n, vio)
@@ -352,17 +382,18 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
         lams = jnp.where(act[:, None, None], lams_n, lams)
         lamTs = jnp.where(act[:, None], lamTs_n, lamTs)
         rhos = jnp.where(act, rhos * opts.rho_scale, rhos)
-        return (xss, uss, lams, lamTs, rhos, its, al_it + 1, vio)
+        return (xss, uss, wss, lams, lamTs, rhos, its, al_it + 1, vio)
 
-    state = (xss0, us_init, lams0, lamTs0, rhos0,
+    state = (xss0, us_init, wss0, lams0, lamTs0, rhos0,
              jnp.zeros(B, jnp.int32), jnp.asarray(0, jnp.int32),
              jnp.full(B, jnp.inf, dtype))
     if ph.has_con or ph.has_conT:
-        xss, uss, lams, lamTs, rhos, its, al_it, vio = jax.lax.while_loop(
-            al_cond, al_body, state)
+        (xss, uss, wss, lams, lamTs, rhos, its, al_it,
+         vio) = jax.lax.while_loop(al_cond, al_body, state)
     else:
         act = jnp.ones(B, bool)
-        xss, uss, Js, its = inner(xss0, us_init, lams0, lamTs0, rhos0, act)
+        xss, uss, wss, Js, its = inner(xss0, us_init, wss0, lams0, lamTs0,
+                                       rhos0, act)
         lams, lamTs, rhos = lams0, lamTs0, rhos0
         al_it = jnp.asarray(1, jnp.int32)
         vio = jnp.zeros(B, dtype)

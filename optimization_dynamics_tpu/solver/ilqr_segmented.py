@@ -66,11 +66,11 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     traj_cost_j = jax.jit(ph.traj_cost)
 
     @jax.jit
-    def iter_j(xss, uss, Js, regs, lams, lamTs, rhos, active):
+    def iter_j(xss, uss, Js, regs, lams, lamTs, rhos, active, wss):
         """One inner iLQR iteration (sweep + backward + line search)."""
-        xss, uss, Js, regs, newly_done = ph.inner_step(
-            xss, uss, Js, regs, lams, lamTs, rhos, active)
-        return xss, uss, Js, regs, newly_done
+        xss, uss, Js, regs, wss, newly_done = ph.inner_step(
+            xss, uss, Js, regs, lams, lamTs, rhos, active, wss)
+        return xss, uss, Js, regs, wss, newly_done
 
     @jax.jit
     def al_round_j(xss, uss, lams, lamTs, rhos, act):
@@ -87,14 +87,14 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         return ph.traj_cost(xss, uss, lams, lamTs, rhos), \
             ph.smooth_cost(xss, uss)
 
-    def inner(xss, uss, lams, lamTs, rhos, act_al, its):
+    def inner(xss, uss, wss, lams, lamTs, rhos, act_al, its):
         Js = traj_cost_j(xss, uss, lams, lamTs, rhos)
         regs = jnp.full(B, opts.reg_init, dtype)
         done = np.asarray(~act_al)
         for it in range(opts.max_iter):
             active = jnp.asarray(~done)
-            xss, uss, Js, regs, newly_done = iter_j(
-                xss, uss, Js, regs, lams, lamTs, rhos, active)
+            xss, uss, Js, regs, wss, newly_done = iter_j(
+                xss, uss, Js, regs, lams, lamTs, rhos, active, wss)
             its = its + active.astype(jnp.int32)
             done = done | np.asarray(newly_done)
             if log is not None:
@@ -102,7 +102,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                     % (it, float(jnp.min(Js)), int(done.sum()), B))
             if done.all():
                 break
-        return xss, uss, Js, its
+        return xss, uss, wss, Js, its
 
     def solve(x0s: jnp.ndarray, us_init: jnp.ndarray) -> ILQRResult:
         assert x0s.shape[0] == B, (x0s.shape, B)
@@ -111,7 +111,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         x0s = x0s.astype(dtype)
         us_init = us_init.astype(dtype)
 
-        xss = rollout_j(x0s, us_init)
+        xss, wss = rollout_j(x0s, us_init)
         uss = us_init
         lams = jnp.zeros((B, T - 1, max(ncon, 1)), dtype)
         lamTs = jnp.zeros((B, max(nconT, 1)), dtype)
@@ -123,8 +123,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         if ph.has_con or ph.has_conT:
             for al_it in range(1, opts.max_al_iter + 1):
                 act = jnp.asarray(vio >= opts.con_tol)
-                xss, uss, Js, its = inner(xss, uss, lams, lamTs, rhos,
-                                          np.asarray(act), its)
+                xss, uss, wss, Js, its = inner(xss, uss, wss, lams, lamTs,
+                                               rhos, np.asarray(act), its)
                 vio_n, lams, lamTs, rhos = al_round_j(
                     xss, uss, lams, lamTs, rhos, act)
                 vio = np.where(np.asarray(act), np.asarray(vio_n), vio)
@@ -133,8 +133,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 if (vio < opts.con_tol).all():
                     break
         else:
-            xss, uss, Js, its = inner(xss, uss, lams, lamTs, rhos,
-                                      np.ones(B, bool), its)
+            xss, uss, wss, Js, its = inner(xss, uss, wss, lams, lamTs,
+                                           rhos, np.ones(B, bool), its)
             al_it = 1
             vio = np.zeros(B)
 

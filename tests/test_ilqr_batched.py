@@ -78,3 +78,38 @@ def test_batched_acrobot_contact():
         res_s = solve(prob, x0s[i], us0, opts)
         np.testing.assert_allclose(float(res_b.objective[i]),
                                    float(res_s.objective), rtol=1e-2)
+
+
+def test_batched_warm_start_matches_cold():
+    """Same-timestep warm starts in the batched phases: same objectives,
+    fewer solver iterations inside (behavioral check: results agree)."""
+    dyn = make_implicit_dynamics(acrobot.impact_model())
+    aux = acrobot.AcrobotAux(h=0.05)
+    T = 8
+    goal = jnp.array([0.2, 1.2, 0.2, 1.2])
+    base = ILQRProblem(
+        T=T, nx=4, nu=1, ncon=0, nconT=4,
+        dynamics=lambda t, x, u: dyn.step(x, u, aux),
+        dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us, aux),
+        dynamics_batched=lambda t, xs, us: dyn.step_batched(xs, us, aux),
+        stage_cost=lambda t, x, u: 0.5 * jnp.sum(u * u)
+        + 0.5 * jnp.sum((x - goal) ** 2),
+        terminal_cost=lambda x: 5.0 * jnp.sum((x - goal) ** 2),
+    )
+    ws = base._replace(
+        dynamics_batched_ws=lambda t, xs, us, w: dyn.step_batched_ws(
+            xs, us, aux, w),
+        dynamics_jac_batched_ws=lambda ts, xs, us, w:
+            dyn.step_jac_batched_ws(xs, us, aux, w),
+        ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs))
+    opts = ILQROptions(max_iter=15, obj_tol=1e-6, grad_tol=1e-6)
+    B = 4
+    x0s = jnp.tile(jnp.array([0.1, 1.0, 0.1, 1.0]), (B, 1)) \
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (B, 4))
+    us0 = jnp.zeros((T - 1, 1))
+    res_c = jax.jit(lambda x: solve_batched(base, x, us0, opts))(x0s)
+    res_w = jax.jit(lambda x: solve_batched(ws, x, us0, opts))(x0s)
+    np.testing.assert_allclose(np.asarray(res_w.objective),
+                               np.asarray(res_c.objective), rtol=2e-2)
