@@ -79,7 +79,8 @@ def _build(on_tpu: bool, dtype):
             dynamics_jac_batched_ws=lambda ts, xs, us, wss:
                 dyn.step_jac_batched_ws(xs, us, aux, wss),
             ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs))
-        opts = dataclasses.replace(opts, con_tol=0.01)
+        # f32: cap the AL penalty (rho past ~1e6 destroys f32 AL costs)
+        opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6)
     else:
         from optimization_dynamics_tpu.dynamics import (
             make_implicit_dynamics)

@@ -53,6 +53,10 @@ class ILQROptions:
     con_tol: float = 0.005
     rho_init: float = 1.0
     rho_scale: float = 10.0
+    # cap on the AL penalty. The reference lets rho grow unboundedly
+    # (fine in f64); in f32 twenty AL rounds reach 1e20 and destroy the
+    # AL cost, so f32 runs should cap around 1e5-1e6.
+    rho_max: float = float("inf")
     armijo_c1: float = 1.0e-4
     reg_init: float = 1.0e-6
     reg_min: float = 1.0e-8
@@ -581,7 +585,7 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
                 "al it={al} inner={inner} J={J:.6e} vio={vio:.3e} rho={rho:.1e}",
                 al=al_it, inner=inner_it, J=J, vio=vio, rho=rho)
         lam, lamT = dual_update(xs, us, lam, lamT, rho)
-        rho = rho * opts.rho_scale
+        rho = jnp.minimum(rho * opts.rho_scale, opts.rho_max)
         return (xs, us, wss, lam, lamT, rho, it, al_it + 1, vio)
 
     vio_init = jnp.asarray(jnp.inf, dtype)

@@ -381,7 +381,7 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
         lams_n, lamTs_n = ph.dual_update(xss, uss, lams, lamTs, rhos)
         lams = jnp.where(act[:, None, None], lams_n, lams)
         lamTs = jnp.where(act[:, None], lamTs_n, lamTs)
-        rhos = jnp.where(act, rhos * opts.rho_scale, rhos)
+        rhos = jnp.where(act, jnp.minimum(rhos * opts.rho_scale, opts.rho_max), rhos)
         return (xss, uss, wss, lams, lamTs, rhos, its, al_it + 1, vio)
 
     state = (xss0, us_init, wss0, lams0, lamTs0, rhos0,

@@ -79,7 +79,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         lams_n, lamTs_n = ph.dual_update(xss, uss, lams, lamTs, rhos)
         lams = jnp.where(act[:, None, None], lams_n, lams)
         lamTs = jnp.where(act[:, None], lamTs_n, lamTs)
-        rhos = jnp.where(act, rhos * opts.rho_scale, rhos)
+        rhos = jnp.where(act, jnp.minimum(rhos * opts.rho_scale, opts.rho_max), rhos)
         return vio_n, lams, lamTs, rhos
 
     @jax.jit
