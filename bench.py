@@ -22,6 +22,12 @@ import subprocess
 import sys
 import time
 
+# XLA fusions around the fused Pallas solver slightly exceed the 16 MB
+# default scoped-vmem budget; must be set before backend init.
+if "--xla_tpu_scoped_vmem_limit_kib" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_tpu_scoped_vmem_limit_kib=65536")
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 TARGET_PER_CHIP = 1000.0 / 16.0          # north-star solves/s per chip
 STEPS_PER_SOLVE = 37000.0                # measured IP solves per full solve
@@ -79,8 +85,11 @@ def _build(on_tpu: bool, dtype):
             dynamics_jac_batched_ws=lambda ts, xs, us, wss:
                 dyn.step_jac_batched_ws(xs, us, aux, wss),
             ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs))
-        # f32: cap the AL penalty (rho past ~1e6 destroys f32 AL costs)
-        opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6)
+        # f32: cap the AL penalty (rho past ~1e6 destroys f32 AL costs);
+        # 8-candidate Armijo grid (alpha_min 1e-2) — plenty at con_tol
+        # 0.01 and halves the line-search batch
+        opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6,
+                                   alpha_min=1.0e-2)
     else:
         from optimization_dynamics_tpu.dynamics import (
             make_implicit_dynamics)
