@@ -60,6 +60,83 @@ def test_fused_matches_batched(name):
                                np.asarray(ref.z)[both][:, :nq], atol=1e-4)
 
 
+def _nominal_batch(model, q_nom, u_nom, aux, B=8, dq=0.005, du=0.1, seed=3):
+    """Perturbations around a physically sensible configuration (contact
+    models need interior-reachable states, unlike the random _batch)."""
+    k = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(k, 3)
+    q0 = q_nom + dq * jax.random.normal(k1, (B, model.nq), jnp.float32)
+    q1 = q0 + dq * 0.2 * jax.random.normal(k2, (B, model.nq), jnp.float32)
+    u = u_nom + du * jax.random.normal(k3, (B, model.nu), jnp.float32)
+    thetas = jax.vmap(lambda a, b, c: model.theta_fn(a, b, c, aux))(
+        q0, q1, u)
+    z0s = jax.vmap(model.init_z)(q1)
+    return z0s, thetas
+
+
+@pytest.mark.parametrize("name", ["planar_push", "hopper"])
+def test_fused_matches_batched_hard_models(name):
+    """The fused kernel on the hardest cone geometries: planar push
+    (nz=35, orthant + 4x SOC(3) + SOC(2)) and hopper (nz=20, RoboDojo
+    contact structure)."""
+    from optimization_dynamics_tpu.models import hopper, planar_push
+
+    if name == "planar_push":
+        model = planar_push.model()
+        aux = planar_push.PlanarPushAux(h=jnp.float32(0.1))
+        q_nom = jnp.array([0.0, 0.0, 0.0, -planar_push.R_DIM - 1e-6, 0.0],
+                          jnp.float32)
+        u_nom = jnp.array([1.0, 0.1], jnp.float32)
+    else:
+        model = hopper.model()
+        aux = hopper.HopperAux(
+            h=jnp.float32(0.05),
+            friction=jnp.asarray([0.5, 0.5], jnp.float32))
+        q_nom = jnp.array([0.0, 0.5 + hopper.HopperParams().foot_radius,
+                           0.0, 0.5], jnp.float32)
+        u_nom = jnp.zeros((2,), jnp.float32)
+    z0s, thetas = _nominal_batch(model, q_nom, u_nom, aux)
+    ref = make_solver_batched(model.residual, model.spec, OPTS)(
+        z0s.astype(jnp.float64), thetas.astype(jnp.float64))
+    fus = make_fused_ip_solver(model.residual, model.spec, OPTS,
+                               interpret=True)(z0s, thetas)
+    # every reference-converged lane must also converge fused, to the
+    # same configuration
+    both = np.asarray(ref.converged) & np.asarray(fus.converged)
+    assert both.sum() >= int(np.asarray(ref.converged).sum()) - 1
+    assert both.sum() >= 6
+    nq = model.nq
+    np.testing.assert_allclose(np.asarray(fus.z)[both][:, :nq],
+                               np.asarray(ref.z)[both][:, :nq],
+                               atol=2e-4)
+
+
+def test_fused_rocket_projection():
+    """Thrust-cone SOC projection (nz=10, SOC(3) + 2 orthant pairs) through
+    the fused kernel: projected thrusts must be cone-feasible and match
+    the batched-native solve."""
+    from optimization_dynamics_tpu.models import rocket
+
+    B = 16
+    u_bar = 6.0 * jax.random.normal(jax.random.PRNGKey(7), (B, 3),
+                                    jnp.float32)
+    u_max = jnp.full((B, 1), 12.5, jnp.float32)
+    thetas = jnp.concatenate([u_bar, u_max], axis=1)
+    z0s = jnp.tile(rocket.init_z_proj(jnp.float32), (B, 1))
+    spec = rocket.cone_spec_proj()
+    opts = OPTS
+    ref = make_solver_batched(rocket.residual_proj, spec, opts)(
+        z0s.astype(jnp.float64), thetas.astype(jnp.float64))
+    fus = make_fused_ip_solver(rocket.residual_proj, spec, opts,
+                               interpret=True)(z0s, thetas)
+    both = np.asarray(ref.converged) & np.asarray(fus.converged)
+    assert both.sum() >= 14
+    u = np.asarray(fus.z)[both][:, 0:3]
+    assert (np.linalg.norm(u[:, 0:2], axis=1) <= u[:, 2] + 1e-4).all()
+    np.testing.assert_allclose(u, np.asarray(ref.z)[both][:, 0:3],
+                               atol=2e-4)
+
+
 def test_fused_pads_ragged_batch():
     model = acrobot.impact_model()
     aux = acrobot.AcrobotAux(h=jnp.float32(0.05))
