@@ -51,6 +51,23 @@ def test_planar_push_translate():
 
 
 @pytest.mark.slow
+def test_planar_push_gradient_bundle():
+    """The paper's stochastic-smoothing alternative (GB=true,
+    /root/reference/examples/planar_push.jl:15): same task solved with
+    sampled gradient-bundle Jacobians instead of IFT. Converges to a
+    feasible push, at a worse local optimum than the smoothed-IFT path
+    (18.71 vs 11.81) — the reference's motivation for relaxed-IFT
+    gradients."""
+    from optimization_dynamics_tpu.examples import planar_push as ex
+    prob, x0, us0, opts = ex.build_problem("translate",
+                                           gradient_bundle=True)
+    res = jax.jit(lambda x, u: solve(prob, x, u, opts))(x0, us0)
+    assert bool(res.converged)
+    assert abs(float(res.xs[-1][5]) - 1.0) < 0.01
+    _check_golden("planar_push_gb_objective", float(res.objective))
+
+
+@pytest.mark.slow
 def test_rocket_projection_landing():
     from optimization_dynamics_tpu.examples import rocket as ex
     prob, x1, us0, opts, dyn = ex.build_problem("projection")
