@@ -136,6 +136,12 @@ class ILQRResult(NamedTuple):
     constraint_violation: jnp.ndarray
     gradient_norm: jnp.ndarray
     converged: jnp.ndarray
+    # final AL state, for warm-starting a re-solve (``solve(...,
+    # lam_init=res.lam, lamT_init=res.lamT, rho_init=res.rho)``) — e.g.
+    # sweep retries on perturbed scenarios or receding-horizon re-solves
+    lam: Optional[jnp.ndarray] = None      # (T-1, ncon)
+    lamT: Optional[jnp.ndarray] = None     # (nconT,)
+    rho: Optional[jnp.ndarray] = None      # scalar
 
 
 # ---------------------------------------------------------------------------
@@ -253,8 +259,16 @@ def rollout(prob: ILQRProblem, x0: jnp.ndarray, us: jnp.ndarray):
 
 def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
           opts: ILQROptions = ILQROptions(),
-          xs_init: jnp.ndarray | None = None) -> ILQRResult:
-    """Run the AL-iLQR solve. Jit/vmap-safe."""
+          xs_init: jnp.ndarray | None = None,
+          lam_init: jnp.ndarray | None = None,
+          lamT_init: jnp.ndarray | None = None,
+          rho_init: jnp.ndarray | None = None) -> ILQRResult:
+    """Run the AL-iLQR solve. Jit/vmap-safe.
+
+    ``lam_init``/``lamT_init``/``rho_init`` warm-start the augmented-
+    Lagrangian state from a previous solve (``ILQRResult.lam/lamT/rho``):
+    a re-solve on a nearby problem starts with converged duals and the
+    final penalty instead of re-running the whole multiplier homotopy."""
     T, nx, nu = prob.T, prob.nx, prob.nu
     ncon, nconT = prob.ncon, prob.nconT
     dtype = x0.dtype
@@ -565,9 +579,12 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
         wss0 = jax.vmap(prob.ws_init)(ts, xs0[:-1], us_init)
     else:
         wss0 = jnp.zeros(T - 1, dtype)
-    lam0 = jnp.zeros((T - 1, max(ncon, 1)), dtype)
-    lamT0 = jnp.zeros(max(nconT, 1), dtype)
-    rho0 = jnp.asarray(opts.rho_init, dtype)
+    lam0 = (jnp.zeros((T - 1, max(ncon, 1)), dtype)
+            if lam_init is None else lam_init.astype(dtype))
+    lamT0 = (jnp.zeros(max(nconT, 1), dtype)
+             if lamT_init is None else lamT_init.astype(dtype))
+    rho0 = (jnp.asarray(opts.rho_init, dtype)
+            if rho_init is None else jnp.asarray(rho_init, dtype))
 
     def al_cond(state):
         xs, us, wss, lam, lamT, rho, it, al_it, vio = state
@@ -612,4 +629,5 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
         constraint_violation=vio,
         gradient_norm=jnp.asarray(0.0, dtype),
         converged=vio < opts.con_tol,
+        lam=lam, lamT=lamT, rho=rho,
     )

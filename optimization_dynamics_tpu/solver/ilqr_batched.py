@@ -322,8 +322,15 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
 
 def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
                   us_init: jnp.ndarray,
-                  opts: ILQROptions = ILQROptions()) -> ILQRResult:
-    """x0s: (B, nx); us_init: (B, T-1, nu) or (T-1, nu) shared."""
+                  opts: ILQROptions = ILQROptions(),
+                  lam_init: jnp.ndarray | None = None,
+                  lamT_init: jnp.ndarray | None = None,
+                  rho_init: jnp.ndarray | None = None) -> ILQRResult:
+    """x0s: (B, nx); us_init: (B, T-1, nu) or (T-1, nu) shared.
+
+    ``lam_init (B, T-1, ncon)`` / ``lamT_init (B, nconT)`` /
+    ``rho_init (B,)`` warm-start the per-lane AL state from a previous
+    solve's ``ILQRResult.lam/lamT/rho`` (sweep retries, re-solves)."""
     assert prob.dynamics_batched is not None, "needs dynamics_batched"
     T, nu = prob.T, prob.nu
     ncon, nconT = prob.ncon, prob.nconT
@@ -360,9 +367,12 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
         return xss, uss, wss, Js, its
 
     xss0, wss0 = ph.rollout_open(x0s, us_init)
-    lams0 = jnp.zeros((B, T - 1, max(ncon, 1)), dtype)
-    lamTs0 = jnp.zeros((B, max(nconT, 1)), dtype)
-    rhos0 = jnp.full(B, opts.rho_init, dtype)
+    lams0 = (jnp.zeros((B, T - 1, max(ncon, 1)), dtype)
+             if lam_init is None else lam_init.astype(dtype))
+    lamTs0 = (jnp.zeros((B, max(nconT, 1)), dtype)
+              if lamT_init is None else lamT_init.astype(dtype))
+    rhos0 = (jnp.full(B, opts.rho_init, dtype)
+             if rho_init is None else rho_init.astype(dtype))
 
     def al_cond(s):
         xss, uss, wss, lams, lamTs, rhos, its, al_it, vio = s
@@ -406,4 +416,5 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
         al_iterations=jnp.full(B, al_it, jnp.int32),
         constraint_violation=vio,
         gradient_norm=jnp.zeros(B, dtype),
-        converged=vio < opts.con_tol)
+        converged=vio < opts.con_tol,
+        lam=lams, lamT=lamTs, rho=rhos)

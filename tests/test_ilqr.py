@@ -154,3 +154,43 @@ def test_vmapped_solve_batch_of_goals():
     assert bool(jnp.all(res.converged))
     np.testing.assert_allclose(np.asarray(res.xs[:, -1]), np.asarray(goals),
                                atol=1e-3)
+
+
+def test_dual_warm_start_resolve():
+    """Re-solving a nearby problem from the previous duals/penalty
+    (ILQRResult.lam/lamT/rho) converges in fewer AL rounds than cold."""
+    T, h = 25, 0.1
+    _, _, dynamics, dynamics_jac = _double_integrator(T, h)
+    goal = jnp.array([0.4, 0.0])
+    u_lim = 0.3
+
+    def stage_con(t, x, u):
+        return jnp.concatenate([u - u_lim, -u - u_lim])
+
+    prob = ILQRProblem(
+        T=T, nx=2, nu=1, ncon=2, nconT=2,
+        dynamics=dynamics, dynamics_jac=dynamics_jac,
+        stage_cost=lambda t, x, u: 0.5 * 1e-2 * jnp.sum(u * u),
+        terminal_cost=lambda x: 0.0,
+        stage_con=stage_con,
+        terminal_con=lambda x: x - goal,
+        ineq_mask=jnp.ones((T - 1, 2), bool),
+    )
+    us0 = jnp.zeros((T - 1, 1))
+    opts = ILQROptions(con_tol=1e-3, obj_tol=1e-8, grad_tol=1e-6)
+    cold = jax.jit(lambda x, u: solve(prob, x, u, opts))
+    res = cold(jnp.zeros(2), us0)
+    assert bool(res.converged)
+    assert res.lam.shape == (T - 1, 2) and res.lamT.shape == (2,)
+
+    # perturbed scenario, warm AL state from the converged solve
+    x0p = jnp.array([0.005, 0.0])
+    warm = jax.jit(lambda x, u, l, lT, r: solve(
+        prob, x, u, opts, lam_init=l, lamT_init=lT, rho_init=r))
+    res_w = warm(x0p, res.us, res.lam, res.lamT, res.rho)
+    res_c = cold(x0p, res.us)
+    assert bool(res_w.converged) and bool(res_c.converged)
+    assert int(res_w.al_iterations) <= int(res_c.al_iterations)
+    assert int(res_w.al_iterations) <= 2
+    np.testing.assert_allclose(np.asarray(res_w.xs[-1]), np.asarray(goal),
+                               atol=5e-3)
