@@ -23,10 +23,15 @@ import sys
 import time
 
 # XLA fusions around the fused Pallas solver slightly exceed the 16 MB
-# default scoped-vmem budget; must be set before backend init.
-if "--xla_tpu_scoped_vmem_limit_kib" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_tpu_scoped_vmem_limit_kib=65536")
+# default scoped-vmem budget (observed: 16.02M, a 24K overage). The
+# backend build rotated mid-round-1: unknown flags in XLA_FLAGS now abort
+# the *local* parser (F parse_flags_from_env), so the TPU-only flag must
+# travel via LIBTPU_INIT_ARGS, which the axon remote-compile service
+# snapshots and forwards. Must be set before backend init.
+if "scoped_vmem" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "")
+        + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 TARGET_PER_CHIP = 1000.0 / 16.0          # north-star solves/s per chip
@@ -62,13 +67,16 @@ def _build(on_tpu: bool, dtype):
         model = cartpole.friction_model()
         aux = cartpole.CartpoleAux(
             h=ex.H, friction=jnp.asarray([0.35, 0.35], dtype))
+        # ODX_BENCH_FUSED=0 falls back to the XLA batched-native path
+        # (diagnostic: the fused kernel faults on some backend builds)
+        fused = os.environ.get("ODX_BENCH_FUSED", "1") != "0"
         dyn = make_implicit_dynamics(
             model,
             eval_opts=IPOptions(r_tol=3.0e-5, kappa_tol=1.0e-3,
                                 max_iter=40, max_ls=8),
             grad_opts=IPOptions(r_tol=3.0e-5, kappa_tol=1.0e-3,
                                 max_iter=40, max_ls=8),
-            fused=True)   # lane-batched solves via the fused Pallas kernel
+            fused=fused)  # lane-batched solves via the fused Pallas kernel
         prob = prob._replace(
             dynamics=lambda t, x, u: dyn.step(x, u, aux),
             dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
