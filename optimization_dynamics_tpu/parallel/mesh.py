@@ -107,11 +107,11 @@ def sharded_map(fn: Callable, mesh: Mesh, out_specs=PartitionSpec(SCENARIO_AXIS)
     runs it sharded across the mesh.
     """
     spec = NamedSharding(mesh, PartitionSpec(SCENARIO_AXIS))
-    vf = jax.vmap(fn)
+    jvf = jax.jit(jax.vmap(fn))  # one jit wrapper, cached across calls
 
     def run(*args):
         args = jax.tree_util.tree_map(
             lambda a: jax.device_put(a, spec), args)
-        return jax.jit(vf)(*args)
+        return jvf(*args)
 
     return run

@@ -465,12 +465,12 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
             return fxs, fus, lxs, lus, lxxs, luus, luxs, gT, HT
 
         def cond(state):
-            xs, us, wss, J, reg, it, done = state
+            xs, us, wss, J, reg, it, done, gnorm = state
             return jnp.logical_and(it < opts.max_iter,
                                    jnp.logical_not(done))
 
         def body(state):
-            xs, us, wss, J, reg, it, done = state
+            xs, us, wss, J, reg, it, done, gnorm = state
             d = derivatives(xs, us)
             Ks, ks, dV1, dV2, qu_inf, bp_ok = backward_fn(*d, reg)
 
@@ -539,13 +539,15 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
                 grad_small,
                 jnp.logical_or(jnp.logical_and(accepted, obj_small),
                                jnp.logical_and(ls_failed, reg_capped)))
-            return (xs_n, us_n, wss_n, J_n, reg_n, it + 1, done_n)
+            return (xs_n, us_n, wss_n, J_n, reg_n, it + 1, done_n, qu_inf)
 
         J0 = traj_cost(xs, us, lam, lamT, rho)
         state = (xs, us, wss, J0, jnp.asarray(opts.reg_init, dtype),
-                 jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        xs, us, wss, J, reg, it, _ = jax.lax.while_loop(cond, body, state)
-        return xs, us, wss, J, it
+                 jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                 jnp.asarray(jnp.inf, dtype))
+        xs, us, wss, J, reg, it, _, gnorm = jax.lax.while_loop(
+            cond, body, state)
+        return xs, us, wss, J, it, gnorm
 
     # ----- augmented Lagrangian outer loop -----
     has_con = prob.stage_con is not None
@@ -580,21 +582,22 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
     else:
         wss0 = jnp.zeros(T - 1, dtype)
     lam0 = (jnp.zeros((T - 1, max(ncon, 1)), dtype)
-            if lam_init is None else lam_init.astype(dtype))
+            if lam_init is None else jnp.asarray(lam_init, dtype))
     lamT0 = (jnp.zeros(max(nconT, 1), dtype)
-             if lamT_init is None else lamT_init.astype(dtype))
+             if lamT_init is None else jnp.asarray(lamT_init, dtype))
     rho0 = (jnp.asarray(opts.rho_init, dtype)
             if rho_init is None else jnp.asarray(rho_init, dtype))
 
     def al_cond(state):
-        xs, us, wss, lam, lamT, rho, it, al_it, vio = state
+        xs, us, wss, lam, lamT, rho, it, al_it, vio, gnorm = state
         converged = vio < opts.con_tol
         return jnp.logical_and(al_it < opts.max_al_iter,
                                jnp.logical_not(converged))
 
     def al_body(state):
-        xs, us, wss, lam, lamT, rho, it, al_it, vio = state
-        xs, us, wss, J, inner_it = ilqr_inner(xs, us, wss, lam, lamT, rho)
+        xs, us, wss, lam, lamT, rho, it, al_it, vio, _ = state
+        xs, us, wss, J, inner_it, gnorm = ilqr_inner(xs, us, wss, lam,
+                                                     lamT, rho)
         it = it + inner_it
         vio = con_violation(xs, us, lam, lamT)
         if opts.verbose:
@@ -603,17 +606,18 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
                 al=al_it, inner=inner_it, J=J, vio=vio, rho=rho)
         lam, lamT = dual_update(xs, us, lam, lamT, rho)
         rho = jnp.minimum(rho * opts.rho_scale, opts.rho_max)
-        return (xs, us, wss, lam, lamT, rho, it, al_it + 1, vio)
+        return (xs, us, wss, lam, lamT, rho, it, al_it + 1, vio, gnorm)
 
     vio_init = jnp.asarray(jnp.inf, dtype)
     state = (xs0, us_init, wss0, lam0, lamT0, rho0,
-             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), vio_init)
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), vio_init,
+             jnp.asarray(jnp.inf, dtype))
     if has_con or has_conT:
-        xs, us, wss, lam, lamT, rho, it, al_it, vio = jax.lax.while_loop(
-            al_cond, al_body, state)
+        (xs, us, wss, lam, lamT, rho, it, al_it, vio,
+         gnorm) = jax.lax.while_loop(al_cond, al_body, state)
     else:
-        xs, us, wss, J, it = ilqr_inner(xs0, us_init, wss0, lam0, lamT0,
-                                        rho0)
+        xs, us, wss, J, it, gnorm = ilqr_inner(xs0, us_init, wss0, lam0,
+                                               lamT0, rho0)
         lam, lamT, rho = lam0, lamT0, rho0
         al_it = jnp.asarray(1, jnp.int32)
         vio = jnp.asarray(0.0, dtype)
@@ -627,7 +631,7 @@ def solve(prob: ILQRProblem, x0: jnp.ndarray, us_init: jnp.ndarray,
         iterations=it,
         al_iterations=al_it,
         constraint_violation=vio,
-        gradient_norm=jnp.asarray(0.0, dtype),
+        gradient_norm=gnorm,
         converged=vio < opts.con_tol,
         lam=lam, lamT=lamT, rho=rho,
     )

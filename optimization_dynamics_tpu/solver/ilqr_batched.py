@@ -241,7 +241,8 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
 
     def inner_step(xss, uss, Js, regs, lams, lamTs, rhos, active, wss):
         """One iLQR iteration for every active lane; returns the updated
-        (xss, uss, Js, regs, wss) plus the per-lane convergence signals."""
+        (xss, uss, Js, regs, wss) plus the per-lane convergence signals
+        and the per-lane backward-pass gradient norm |Qu|_inf."""
         d = derivatives(xss, uss, lams, lamTs, rhos, wss)
         Kss, kss, dV1, dV2, qu_inf, bp_ok = backward(*d, regs)
         xss_n, uss_n, Js_n, accepted, wss_n = line_search(
@@ -265,7 +266,7 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
             grad_small,
             jnp.logical_or(jnp.logical_and(accepted, obj_small),
                            jnp.logical_and(ls_failed, reg_capped)))
-        return xss_n, uss_n, Js_n, regs_n, wss_n, newly_done
+        return xss_n, uss_n, Js_n, regs_n, wss_n, newly_done, qu_inf
 
     has_con = prob.stage_con is not None
     has_conT = prob.terminal_con is not None
@@ -343,48 +344,52 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
 
     def inner(xss, uss, wss, lams, lamTs, rhos, act_al):
         def cond(s):
-            xss, uss, Js, regs, wss, it, done = s
+            xss, uss, Js, regs, wss, it, done, gnorms = s
             return jnp.any(jnp.logical_and(
                 jnp.logical_not(done), it < opts.max_iter))
 
         def body(s):
-            xss, uss, Js, regs, wss, it, done = s
+            xss, uss, Js, regs, wss, it, done, gnorms = s
             active = jnp.logical_and(jnp.logical_not(done),
                                      jnp.logical_and(act_al,
                                                      it < opts.max_iter))
-            xss_n, uss_n, Js_n, regs_n, wss_n, newly_done = ph.inner_step(
+            (xss_n, uss_n, Js_n, regs_n, wss_n, newly_done,
+             qu_inf) = ph.inner_step(
                 xss, uss, Js, regs, lams, lamTs, rhos, active, wss)
+            gnorms = jnp.where(active, qu_inf, gnorms)
             done_n = jnp.logical_or(done, newly_done)
             it_n = it + active.astype(jnp.int32)
-            return (xss_n, uss_n, Js_n, regs_n, wss_n, it_n, done_n)
+            return (xss_n, uss_n, Js_n, regs_n, wss_n, it_n, done_n,
+                    gnorms)
 
         Js0 = ph.traj_cost(xss, uss, lams, lamTs, rhos)
         state = (xss, uss, Js0, jnp.full(B, opts.reg_init, dtype), wss,
                  jnp.zeros(B, jnp.int32),
-                 jnp.logical_not(act_al))
-        xss, uss, Js, regs, wss, its, _ = jax.lax.while_loop(
+                 jnp.logical_not(act_al), jnp.full(B, jnp.inf, dtype))
+        xss, uss, Js, regs, wss, its, _, gnorms = jax.lax.while_loop(
             cond, body, state)
-        return xss, uss, wss, Js, its
+        return xss, uss, wss, Js, its, gnorms
 
     xss0, wss0 = ph.rollout_open(x0s, us_init)
     lams0 = (jnp.zeros((B, T - 1, max(ncon, 1)), dtype)
-             if lam_init is None else lam_init.astype(dtype))
+             if lam_init is None else jnp.asarray(lam_init, dtype))
     lamTs0 = (jnp.zeros((B, max(nconT, 1)), dtype)
-              if lamT_init is None else lamT_init.astype(dtype))
-    rhos0 = (jnp.full(B, opts.rho_init, dtype)
-             if rho_init is None else rho_init.astype(dtype))
+              if lamT_init is None else jnp.asarray(lamT_init, dtype))
+    rhos0 = (jnp.full(B, opts.rho_init, dtype) if rho_init is None
+             else jnp.broadcast_to(jnp.asarray(rho_init, dtype), (B,)))
 
     def al_cond(s):
-        xss, uss, wss, lams, lamTs, rhos, its, al_it, vio = s
+        xss, uss, wss, lams, lamTs, rhos, its, al_it, vio, gnorms = s
         return jnp.logical_and(
             al_it < opts.max_al_iter,
             jnp.any(jnp.logical_not(vio < opts.con_tol)))
 
     def al_body(s):
-        xss, uss, wss, lams, lamTs, rhos, its, al_it, vio = s
+        xss, uss, wss, lams, lamTs, rhos, its, al_it, vio, gnorms = s
         act = jnp.logical_not(vio < opts.con_tol)
-        xss, uss, wss, Js, inner_its = inner(xss, uss, wss, lams, lamTs,
-                                             rhos, act)
+        xss, uss, wss, Js, inner_its, gn = inner(xss, uss, wss, lams,
+                                                 lamTs, rhos, act)
+        gnorms = jnp.where(act, gn, gnorms)
         its = its + inner_its
         vio_n = ph.con_violation(xss, uss)
         vio = jnp.where(act, vio_n, vio)
@@ -392,18 +397,19 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
         lams = jnp.where(act[:, None, None], lams_n, lams)
         lamTs = jnp.where(act[:, None], lamTs_n, lamTs)
         rhos = jnp.where(act, jnp.minimum(rhos * opts.rho_scale, opts.rho_max), rhos)
-        return (xss, uss, wss, lams, lamTs, rhos, its, al_it + 1, vio)
+        return (xss, uss, wss, lams, lamTs, rhos, its, al_it + 1, vio,
+                gnorms)
 
     state = (xss0, us_init, wss0, lams0, lamTs0, rhos0,
              jnp.zeros(B, jnp.int32), jnp.asarray(0, jnp.int32),
-             jnp.full(B, jnp.inf, dtype))
+             jnp.full(B, jnp.inf, dtype), jnp.full(B, jnp.inf, dtype))
     if ph.has_con or ph.has_conT:
         (xss, uss, wss, lams, lamTs, rhos, its, al_it,
-         vio) = jax.lax.while_loop(al_cond, al_body, state)
+         vio, gnorms) = jax.lax.while_loop(al_cond, al_body, state)
     else:
         act = jnp.ones(B, bool)
-        xss, uss, wss, Js, its = inner(xss0, us_init, wss0, lams0, lamTs0,
-                                       rhos0, act)
+        xss, uss, wss, Js, its, gnorms = inner(xss0, us_init, wss0, lams0,
+                                               lamTs0, rhos0, act)
         lams, lamTs, rhos = lams0, lamTs0, rhos0
         al_it = jnp.asarray(1, jnp.int32)
         vio = jnp.zeros(B, dtype)
@@ -415,6 +421,6 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
         iterations=its,
         al_iterations=jnp.full(B, al_it, jnp.int32),
         constraint_violation=vio,
-        gradient_norm=jnp.zeros(B, dtype),
+        gradient_norm=gnorms,
         converged=vio < opts.con_tol,
         lam=lams, lamT=lamTs, rho=rhos)

@@ -68,9 +68,9 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     @jax.jit
     def iter_j(xss, uss, Js, regs, lams, lamTs, rhos, active, wss):
         """One inner iLQR iteration (sweep + backward + line search)."""
-        xss, uss, Js, regs, wss, newly_done = ph.inner_step(
+        xss, uss, Js, regs, wss, newly_done, qu_inf = ph.inner_step(
             xss, uss, Js, regs, lams, lamTs, rhos, active, wss)
-        return xss, uss, Js, regs, wss, newly_done
+        return xss, uss, Js, regs, wss, newly_done, qu_inf
 
     @jax.jit
     def al_round_j(xss, uss, lams, lamTs, rhos, act):
@@ -87,14 +87,15 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         return ph.traj_cost(xss, uss, lams, lamTs, rhos), \
             ph.smooth_cost(xss, uss)
 
-    def inner(xss, uss, wss, lams, lamTs, rhos, act_al, its):
+    def inner(xss, uss, wss, lams, lamTs, rhos, act_al, its, gnorms):
         Js = traj_cost_j(xss, uss, lams, lamTs, rhos)
         regs = jnp.full(B, opts.reg_init, dtype)
         done = np.asarray(~act_al)
         for it in range(opts.max_iter):
             active = jnp.asarray(~done)
-            xss, uss, Js, regs, wss, newly_done = iter_j(
+            xss, uss, Js, regs, wss, newly_done, qu_inf = iter_j(
                 xss, uss, Js, regs, lams, lamTs, rhos, active, wss)
+            gnorms = jnp.where(active, qu_inf, gnorms)
             its = its + active.astype(jnp.int32)
             done = done | np.asarray(newly_done)
             if log is not None:
@@ -102,7 +103,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                     % (it, float(jnp.min(Js)), int(done.sum()), B))
             if done.all():
                 break
-        return xss, uss, wss, Js, its
+        return xss, uss, wss, Js, its, gnorms
 
     def solve(x0s: jnp.ndarray, us_init: jnp.ndarray) -> ILQRResult:
         assert x0s.shape[0] == B, (x0s.shape, B)
@@ -117,14 +118,16 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         lamTs = jnp.zeros((B, max(nconT, 1)), dtype)
         rhos = jnp.full(B, opts.rho_init, dtype)
         its = jnp.zeros(B, jnp.int32)
+        gnorms = jnp.full(B, jnp.inf, dtype)
         vio = np.full(B, np.inf)
         al_it = 0
 
         if ph.has_con or ph.has_conT:
             for al_it in range(1, opts.max_al_iter + 1):
                 act = jnp.asarray(vio >= opts.con_tol)
-                xss, uss, wss, Js, its = inner(xss, uss, wss, lams, lamTs,
-                                               rhos, np.asarray(act), its)
+                xss, uss, wss, Js, its, gnorms = inner(
+                    xss, uss, wss, lams, lamTs, rhos, np.asarray(act), its,
+                    gnorms)
                 vio_n, lams, lamTs, rhos = al_round_j(
                     xss, uss, lams, lamTs, rhos, act)
                 vio = np.where(np.asarray(act), np.asarray(vio_n), vio)
@@ -133,20 +136,24 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 if (vio < opts.con_tol).all():
                     break
         else:
-            xss, uss, wss, Js, its = inner(xss, uss, wss, lams, lamTs,
-                                           rhos, np.ones(B, bool), its)
+            xss, uss, wss, Js, its, gnorms = inner(
+                xss, uss, wss, lams, lamTs, rhos, np.ones(B, bool), its,
+                gnorms)
             al_it = 1
             vio = np.zeros(B)
 
         al_obj, obj = finish_j(xss, uss, lams, lamTs, rhos)
         vio_dev = jnp.asarray(vio, dtype)
+        # lam/lamT/rho populated for a result pytree structurally
+        # identical to solve_batched's (merge_retry, warm-start reuse)
         return ILQRResult(
             xs=xss, us=uss, objective=obj, al_objective=al_obj,
             iterations=its,
             al_iterations=jnp.full(B, al_it, jnp.int32),
             constraint_violation=vio_dev,
-            gradient_norm=jnp.zeros(B, dtype),
-            converged=vio_dev < opts.con_tol)
+            gradient_norm=gnorms,
+            converged=vio_dev < opts.con_tol,
+            lam=lams, lamT=lamTs, rho=rhos)
 
     return solve
 

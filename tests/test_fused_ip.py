@@ -100,7 +100,8 @@ def test_fused_matches_batched_hard_models(name):
         z0s.astype(jnp.float64), thetas.astype(jnp.float64))
     fus = make_fused_ip_solver(model.residual, model.spec, OPTS,
                                interpret=True)(z0s, thetas)
-    # every reference-converged lane must also converge fused, to the
+    # all but at most one reference-converged lane (f32 kernel vs f64
+    # reference on knife-edge states) must also converge fused, to the
     # same configuration
     both = np.asarray(ref.converged) & np.asarray(fus.converged)
     assert both.sum() >= int(np.asarray(ref.converged).sum()) - 1
