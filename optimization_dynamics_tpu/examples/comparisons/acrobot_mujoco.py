@@ -136,7 +136,53 @@ def run():
     return prob, res
 
 
+def study(artifact_path: str | None = None):
+    """The reference's comparison *study*
+    (/root/reference/examples/comparisons/acrobot/acrobot.jl:93-102): run
+    the full T=101 swing-up through MuJoCo soft limits + FD Jacobians and
+    record whether the smooth-gradient path converges.
+
+    Measured result (2026-08-18, CPU f64, committed at
+    docs/mujoco_study.json): **stuck** — 870 inner iterations across all
+    20 AL rounds, terminal violation 2.2e-2 (con_tol 1e-3 never met),
+    final gradient norm ~3.4e16, and the soft elbow limit is transiently
+    violated up to |q2| = 2.96 rad against the pi/2 hard limit. The
+    relaxed-IFT acrobot-limits solve converges at objective 67.4 with the
+    limit respected (BASELINE.md) — the paper's argument reproduced.
+    """
+    import json
+    import numpy as np
+
+    prob, res = run()
+    xs = np.asarray(res.xs)
+    out = {
+        "study": "acrobot swing-up via MuJoCo soft limits + FD Jacobians",
+        "reference":
+            "/root/reference/examples/comparisons/acrobot/acrobot.jl:93-102",
+        "T": T, "h": H, "con_tol": 0.001,
+        "converged": bool(res.converged),
+        "objective": float(res.objective),
+        "constraint_violation": float(res.constraint_violation),
+        "iterations": int(res.iterations),
+        "al_iterations": int(res.al_iterations),
+        "gradient_norm": float(res.gradient_norm),
+        "max_abs_elbow": float(np.abs(xs[:, 1]).max()),
+        "elbow_hard_limit": float(np.pi / 2),
+        "xT": xs[-1].tolist(),
+    }
+    if artifact_path:
+        with open(artifact_path, "w") as f:
+            json.dump(out, f, indent=2)
+    return out
+
+
 def main():
+    import sys
+    if "--study" in sys.argv:
+        out = study(artifact_path="docs/mujoco_study.json"
+                    if "--save" in sys.argv else None)
+        print({k: v for k, v in out.items() if k != "xT"})
+        return
     prob, res = run()
     print("converged:", bool(res.converged),
           "obj:", float(res.objective),
