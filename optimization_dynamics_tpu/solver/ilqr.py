@@ -74,6 +74,11 @@ class ILQROptions:
     # "The Parallelization of Riccati Recursion"). Mathematically
     # identical to the sequential pass (regularization folded into luu).
     parallel_riccati: bool = False
+    # batched solvers only: run the Riccati backward pass as one fused
+    # Pallas TPU kernel (ops/pallas/riccati.py) — batch across lanes,
+    # whole recursion VMEM-resident. Same numerics as the XLA reverse
+    # scan (tested); interpret-mode fallback on CPU.
+    pallas_riccati: bool = False
 
 
 class ILQRProblem(NamedTuple):

@@ -32,6 +32,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from optimization_dynamics_tpu.solver.ilqr import (
     ILQROptions,
@@ -161,7 +162,7 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         return (fxs, fus, sw(lxs), sw(lus), sw(lxxs), sw(luus), sw(luxs),
                 gTs, HTs)
 
-    def backward(fxs, fus, lxs, lus, lxxs, luus, luxs, gTs, HTs, regs):
+    def backward_xla(fxs, fus, lxs, lus, lxxs, luus, luxs, gTs, HTs, regs):
         """Per-lane Riccati via one reverse scan over batched tensors."""
         def step(carry, inp):
             Vx, Vxx = carry                       # (B, nx), (B, nx, nx)
@@ -213,6 +214,15 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         return (sw(Ks), sw(ks), jnp.sum(dV1s, axis=0),
                 jnp.sum(dV2s, axis=0), jnp.max(qu_infs, axis=0),
                 jnp.all(oks, axis=0))
+
+    if opts.pallas_riccati:
+        from optimization_dynamics_tpu.ops.pallas.riccati import (
+            make_riccati_backward)
+        backward = make_riccati_backward(
+            T, nx, nu, np.asarray(prob.u_mask),
+            interpret=jax.default_backend() == "cpu")
+    else:
+        backward = backward_xla
 
     n_alpha = int(math.ceil(math.log2(1.0 / opts.alpha_min))) + 1
     alpha_grid = (0.5 ** jnp.arange(n_alpha)).astype(dtype)
@@ -316,7 +326,8 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         has_con=has_con, has_conT=has_conT,
         rollout_open=rollout_open, traj_cost=traj_cost,
         closed_loop=closed_loop, derivatives=derivatives,
-        backward=backward, line_search=line_search, inner_step=inner_step,
+        backward=backward, backward_xla=backward_xla,
+        line_search=line_search, inner_step=inner_step,
         con_violation=con_violation, dual_update=dual_update,
         smooth_cost=smooth_cost)
 
