@@ -1,16 +1,33 @@
 """Benchmark: contact-implicit solver throughput on one chip.
 
 Headline metric per BASELINE.md north star: full cartpole-with-friction
-iLQR solves/s (reference configuration T=51, friction 0.35). The round-1
-TPU backend intermittently faults on large fused solver programs
-(docs/DESIGN.md §6), so this harness tries variants in order, each in an
-isolated subprocess (a device fault poisons the jax client):
+iLQR solves/s (reference configuration T=51, friction 0.35), counting
+**converged solves only** (VERDICT r1 #10: throughput over failed lanes
+is not throughput). A variant's number is accepted as headline only if
+>= 90% of its lanes converged; otherwise the harness falls through to
+the next variant and reports the best honest number it found.
 
-  1. batched full solves (vmap B=64)       — the target metric;
-  2. single full-solve latency             — same program, no vmap;
-  3. batched implicit dynamics steps       — the innermost hot op.
+Warm-start policy (bisected on CPU, scripts/repro_f32.py, and pinned by
+tests/test_f32_tier.py): line-search rollouts run COLD — warm-starting
+them from the previous accepted trajectory flips complementarity
+branches on the knife-edge friction-0.35 swing-up (6/16 lanes in f32,
+3/16 even in f64) — while the derivative sweep warm-starts from the
+accepted trajectory's own eval solution (benign: same theta, same
+branch; 16/16 lanes, ~2x faster).
 
-Prints exactly one JSON line (the first variant that succeeds).
+The round-1/2 TPU backend intermittently faults on monolithic full-solve
+programs (docs/fault_ladder.json: solve_batched faults, segmented phases
+and the fused Pallas kernel pass), so the harness tries variants in
+order, each in an isolated subprocess (a device fault poisons the jax
+client):
+
+  1. segmented executor + fused Pallas IP dynamics (deploy target);
+  2. segmented executor, XLA batched-native dynamics;
+  3. monolithic batched full solve (vmap-free lockstep);
+  4. single full-solve latency;
+  5. batched implicit dynamics steps (innermost hot op).
+
+Prints exactly one JSON line.
 """
 
 from __future__ import annotations
@@ -23,11 +40,10 @@ import sys
 import time
 
 # XLA fusions around the fused Pallas solver slightly exceed the 16 MB
-# default scoped-vmem budget (observed: 16.02M, a 24K overage). The
-# backend build rotated mid-round-1: unknown flags in XLA_FLAGS now abort
-# the *local* parser (F parse_flags_from_env), so the TPU-only flag must
-# travel via LIBTPU_INIT_ARGS, which the axon remote-compile service
-# snapshots and forwards. Must be set before backend init.
+# default scoped-vmem budget. Unknown flags in XLA_FLAGS abort the local
+# parser on this backend build, so the TPU-only flag must travel via
+# LIBTPU_INIT_ARGS, which the axon remote-compile service snapshots and
+# forwards. Must be set before backend init.
 if "scoped_vmem" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
     os.environ["LIBTPU_INIT_ARGS"] = (
         os.environ.get("LIBTPU_INIT_ARGS", "")
@@ -36,6 +52,7 @@ if "scoped_vmem" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
 HERE = os.path.dirname(os.path.abspath(__file__))
 TARGET_PER_CHIP = 1000.0 / 16.0          # north-star solves/s per chip
 STEPS_PER_SOLVE = 37000.0                # measured IP solves per full solve
+CONV_GATE = 0.9                          # headline needs >= 90% converged
 
 
 def _setup_jax():
@@ -53,7 +70,7 @@ def _setup_jax():
     return jax, on_tpu
 
 
-def _build(on_tpu: bool, dtype):
+def _build(on_tpu: bool, dtype, fused: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -63,56 +80,99 @@ def _build(on_tpu: bool, dtype):
     from optimization_dynamics_tpu.solver.interior_point import IPOptions
 
     prob, x0, us0, opts = ex.build_problem("friction", dtype=dtype)
+    model = cartpole.friction_model()
+    aux = cartpole.CartpoleAux(
+        h=ex.H, friction=jnp.asarray([0.35, 0.35], dtype))
     if on_tpu:
-        model = cartpole.friction_model()
-        aux = cartpole.CartpoleAux(
-            h=ex.H, friction=jnp.asarray([0.35, 0.35], dtype))
-        # ODX_BENCH_FUSED=0 falls back to the XLA batched-native path
-        # (diagnostic: the fused kernel faults on some backend builds)
-        fused = os.environ.get("ODX_BENCH_FUSED", "1") != "0"
-        dyn = make_implicit_dynamics(
-            model,
-            eval_opts=IPOptions(r_tol=3.0e-5, kappa_tol=1.0e-3,
-                                max_iter=40, max_ls=8),
-            grad_opts=IPOptions(r_tol=3.0e-5, kappa_tol=1.0e-3,
-                                max_iter=40, max_ls=8),
-            fused=fused)  # lane-batched solves via the fused Pallas kernel
-        prob = prob._replace(
-            dynamics=lambda t, x, u: dyn.step(x, u, aux),
-            dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
-            dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
-                xs, us, aux),
-            dynamics_batched=lambda t, xs, us: dyn.step_batched(
-                xs, us, aux),
-            dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
-            carry_init=dyn.carry_init,
-            # same-timestep warm starts for the batched phases (~1 warm
-            # Newton iteration vs ~20 cold in the line-search rollouts)
-            dynamics_batched_ws=lambda t, xs, us, ws: dyn.step_batched_ws(
-                xs, us, aux, ws),
-            dynamics_jac_batched_ws=lambda ts, xs, us, wss:
-                dyn.step_jac_batched_ws(xs, us, aux, wss),
-            ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs))
+        ip = dict(r_tol=3.0e-5, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
+    else:
+        ip = dict(r_tol=1.0e-8, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
+        fused = False
+    dyn = make_implicit_dynamics(
+        model,
+        eval_opts=IPOptions(**ip),
+        grad_opts=IPOptions(**ip),
+        fused=fused)  # lane-batched solves via the fused Pallas kernel
+    prob = prob._replace(
+        dynamics=lambda t, x, u: dyn.step(x, u, aux),
+        dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us, aux),
+        dynamics_batched=lambda t, xs, us: dyn.step_batched(xs, us, aux),
+        dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
+        carry_init=dyn.carry_init,
+        # thread solver variables through the phases, but keep
+        # line-search rollouts COLD (ws_linesearch=False): only the
+        # derivative sweep re-solving the accepted trajectory
+        # warm-starts (~1 Newton iteration; branch-safe)
+        dynamics_batched_ws=lambda t, xs, us, ws: dyn.step_batched_ws(
+            xs, us, aux, ws),
+        dynamics_jac_batched_ws=lambda ts, xs, us, wss:
+            dyn.step_jac_batched_ws(xs, us, aux, wss),
+        ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs),
+        ws_linesearch=False)
+    if on_tpu:
         # f32: cap the AL penalty (rho past ~1e6 destroys f32 AL costs);
         # 8-candidate Armijo grid (alpha_min 1e-2) — plenty at con_tol
         # 0.01 and halves the line-search batch
         opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6,
                                    alpha_min=1.0e-2)
     else:
-        from optimization_dynamics_tpu.dynamics import (
-            make_implicit_dynamics)
-        from optimization_dynamics_tpu.models import cartpole
-        aux = cartpole.CartpoleAux(
-            h=ex.H, friction=jnp.asarray([0.35, 0.35], dtype))
-        dyn = make_implicit_dynamics(cartpole.friction_model())
-        prob = prob._replace(
-            dynamics_batched=lambda t, xs, us: dyn.step_batched(
-                xs, us, aux))
+        opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6,
+                                   alpha_min=1.0e-2)
     return prob, x0, us0, opts
 
 
+def _x0s(jax, jnp, x0, B, dtype):
+    key = jax.random.PRNGKey(0)
+    return (jnp.tile(x0.astype(dtype), (B, 1))
+            + 0.01 * jax.random.normal(key, (B, 4), dtype))
+
+
+def _result(name, B, n_conv, dt):
+    v = n_conv / dt
+    return {
+        "metric": ("cartpole-friction CONVERGED full iLQR solves/s "
+                   "(1 chip, %s, batch %d, %d/%d converged)"
+                   % (name, B, n_conv, B)),
+        "value": round(v, 3), "unit": "converged solves/s",
+        "vs_baseline": round(v / TARGET_PER_CHIP, 4),
+        "converged_frac": round(n_conv / B, 4),
+        "batch": B, "wall_s": round(dt, 1),
+    }
+
+
+def _run_segmented(fused: bool, B: int):
+    jax, on_tpu = _setup_jax()
+    import jax.numpy as jnp
+    from optimization_dynamics_tpu.solver.ilqr_segmented import (
+        make_segmented_solver)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x0, us0, opts = _build(on_tpu, dtype, fused=fused)
+    if not on_tpu:
+        B = 8
+    x0s = _x0s(jax, jnp, x0, B, dtype)
+    run = make_segmented_solver(prob, opts, B, dtype=dtype)
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    t0 = time.perf_counter()
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    dt = time.perf_counter() - t0
+    name = "segmented+fused-ip" if fused else "segmented+xla"
+    return _result(name, B, int(jnp.sum(res.converged)), dt)
+
+
+def variant_segmented_fused():
+    return _run_segmented(True, int(os.environ.get("ODX_BENCH_B", "256")))
+
+
+def variant_segmented():
+    return _run_segmented(False, int(os.environ.get("ODX_BENCH_B", "256")))
+
+
 def variant_batched(B: int = 64):
-    """Batched-native lockstep solver (no vmap-of-while; docs/DESIGN.md)."""
+    """Monolithic batched-native lockstep solver (docs/DESIGN.md §6)."""
     jax, on_tpu = _setup_jax()
     import jax.numpy as jnp
     from optimization_dynamics_tpu.solver.ilqr_batched import solve_batched
@@ -120,9 +180,7 @@ def variant_batched(B: int = 64):
     prob, x0, us0, opts = _build(on_tpu, dtype)
     if not on_tpu:
         B = 8
-    key = jax.random.PRNGKey(0)
-    x0s = (jnp.tile(x0.astype(dtype), (B, 1))
-           + 0.01 * jax.random.normal(key, (B, 4), dtype))
+    x0s = _x0s(jax, jnp, x0, B, dtype)
     run = jax.jit(lambda xs: solve_batched(prob, xs, us0.astype(dtype),
                                            opts))
     res = run(x0s)
@@ -131,47 +189,8 @@ def variant_batched(B: int = 64):
     res = run(x0s)
     jax.block_until_ready(res.xs)
     dt = time.perf_counter() - t0
-    v = B / dt
-    return {
-        "metric": ("cartpole-friction full iLQR solves/s "
-                   "(1 chip, batch %d, %d/%d converged)"
-                   % (B, int(jnp.sum(res.converged)), B)),
-        "value": round(v, 3), "unit": "solves/s",
-        "vs_baseline": round(v / TARGET_PER_CHIP, 4),
-    }
-
-
-def variant_segmented(B: int = 64):
-    """Host-orchestrated phase programs (solver/ilqr_segmented.py): same
-    math as the fused batched solve, but each phase jits separately —
-    sized like the probe programs that are verified to run on this
-    backend."""
-    jax, on_tpu = _setup_jax()
-    import jax.numpy as jnp
-    from optimization_dynamics_tpu.solver.ilqr_segmented import (
-        make_segmented_solver)
-    dtype = jnp.float32 if on_tpu else jnp.float64
-    prob, x0, us0, opts = _build(on_tpu, dtype)
-    if not on_tpu:
-        B = 8
-    key = jax.random.PRNGKey(0)
-    x0s = (jnp.tile(x0.astype(dtype), (B, 1))
-           + 0.01 * jax.random.normal(key, (B, 4), dtype))
-    run = make_segmented_solver(prob, opts, B, dtype=dtype)
-    res = run(x0s, us0.astype(dtype))
-    jax.block_until_ready(res.xs)
-    t0 = time.perf_counter()
-    res = run(x0s, us0.astype(dtype))
-    jax.block_until_ready(res.xs)
-    dt = time.perf_counter() - t0
-    v = B / dt
-    return {
-        "metric": ("cartpole-friction full iLQR solves/s "
-                   "(1 chip, segmented executor, batch %d, %d/%d converged)"
-                   % (B, int(jnp.sum(res.converged)), B)),
-        "value": round(v, 3), "unit": "solves/s",
-        "vs_baseline": round(v / TARGET_PER_CHIP, 4),
-    }
+    return _result("monolithic batched", B, int(jnp.sum(res.converged)),
+                   dt)
 
 
 def variant_single():
@@ -189,13 +208,8 @@ def variant_single():
         res = run(x0.astype(dtype))
         jax.block_until_ready(res.xs)
     dt = (time.perf_counter() - t0) / runs
-    v = 1.0 / dt
-    return {
-        "metric": ("cartpole-friction full iLQR solve latency, 1 chip, "
-                   "unbatched (converged=%s)" % bool(res.converged)),
-        "value": round(v, 3), "unit": "solves/s",
-        "vs_baseline": round(v / TARGET_PER_CHIP, 4),
-    }
+    n_conv = int(bool(res.converged))
+    return _result("unbatched latency", 1, n_conv, dt)
 
 
 def variant_steps(B: int = 128):
@@ -230,38 +244,57 @@ def variant_steps(B: int = 128):
                    "fault on this backend]" % B),
         "value": round(v, 1), "unit": "steps/s",
         "vs_baseline": round((v / STEPS_PER_SOLVE) / TARGET_PER_CHIP, 6),
+        "converged_frac": 1.0,
     }
 
 
-VARIANTS = ["batched", "segmented", "single", "steps"]
+VARIANTS = ["segmented_fused", "segmented", "batched", "single", "steps"]
 
 
 def main():
     if len(sys.argv) > 1:          # worker mode
         name = sys.argv[1]
-        fn = {"batched": variant_batched, "segmented": variant_segmented,
+        fn = {"segmented_fused": variant_segmented_fused,
+              "segmented": variant_segmented,
+              "batched": variant_batched,
               "single": variant_single, "steps": variant_steps}[name]
         print(json.dumps(fn()))
         return
 
     env = dict(os.environ)
     env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
-    last = None
+    last_err = None
+    best_gated = None            # completed but < CONV_GATE converged
     for name in VARIANTS:
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), name],
-                capture_output=True, text=True, timeout=2700, env=env)
+                capture_output=True, text=True, timeout=3000, env=env)
+            parsed = None
             for line in out.stdout.strip().splitlines()[::-1]:
                 line = line.strip()
                 if line.startswith("{"):
-                    print(line)
-                    return
-            last = out.stderr[-300:]
+                    parsed = json.loads(line)
+                    break
+            if parsed is None:
+                last_err = out.stderr[-300:]
+                continue
+            if parsed.get("converged_frac", 0.0) >= CONV_GATE:
+                print(json.dumps(parsed))
+                return
+            if (best_gated is None
+                    or parsed.get("value", 0) > best_gated.get("value", 0)):
+                best_gated = parsed
         except subprocess.TimeoutExpired:
-            last = f"variant {name} timed out"
+            last_err = f"variant {name} timed out"
+    if best_gated is not None:
+        # below the honesty gate: report it, but flag it loudly
+        best_gated["metric"] = ("[BELOW %.0f%% CONVERGENCE GATE] "
+                                % (100 * CONV_GATE)) + best_gated["metric"]
+        print(json.dumps(best_gated))
+        return
     print(json.dumps({
-        "metric": "benchmark failed on all variants: %s" % (last or ""),
+        "metric": "benchmark failed on all variants: %s" % (last_err or ""),
         "value": 0.0, "unit": "solves/s", "vs_baseline": 0.0,
     }))
 

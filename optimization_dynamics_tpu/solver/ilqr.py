@@ -129,6 +129,14 @@ class ILQRProblem(NamedTuple):
     dynamics_jac_batched_ws: Optional[Callable] = None
     # (ts, xs, us, wss (N,nz)) -> (ys, fxs, fus, wss')
     ws_init_batched: Optional[Callable] = None   # (t, xs, us) -> ws (B,nz)
+    # warm-start line-search rollouts from the previous accepted
+    # trajectory's variables (default). False = line-search solves start
+    # cold (ws_init_batched) but still return their variables, so the
+    # derivative sweep re-solving the ACCEPTED trajectory warm-starts
+    # from its own eval solution — benign by construction. Measured on
+    # cartpole-friction (knife-edge, scripts/repro_f32.py): warm
+    # line-search rollouts converge 6/16 lanes, cold 16/16.
+    ws_linesearch: bool = True
 
 
 class ILQRResult(NamedTuple):

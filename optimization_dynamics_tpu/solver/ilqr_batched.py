@@ -68,6 +68,11 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
     lane-batched arrays; ``solve_batched`` composes them inside
     ``while_loop``s, the segmented executor jits them individually.
     """
+    # static copy of the control mask BEFORE padding: under jit,
+    # _pad_masks' jnp.ones is a tracer, but the Pallas Riccati kernel
+    # needs the mask at trace time (it is compile-time static by design)
+    u_mask_np = (np.ones((prob.T - 1, prob.nu), bool)
+                 if prob.u_mask is None else np.asarray(prob.u_mask))
     prob = _pad_masks(prob)
     T, nx, nu = prob.T, prob.nx, prob.nu
     ts = jnp.arange(T - 1)
@@ -118,7 +123,9 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
             us = jnp.where(prob.u_mask[t][None], us, us_ref_t)
             Js = Js + stage_al_v(t, xs, us, lams[:, t], rhos)
             if has_bws:
-                ys, ws_new = prob.dynamics_batched_ws(t, xs, us, ws_t)
+                ws0 = (ws_t if prob.ws_linesearch
+                       else prob.ws_init_batched(t, xs, us))
+                ys, ws_new = prob.dynamics_batched_ws(t, xs, us, ws0)
             else:
                 ys = prob.dynamics_batched(t, xs, us)
                 ws_new = ws_t
@@ -219,7 +226,7 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         from optimization_dynamics_tpu.ops.pallas.riccati import (
             make_riccati_backward)
         backward = make_riccati_backward(
-            T, nx, nu, np.asarray(prob.u_mask),
+            T, nx, nu, u_mask_np,
             interpret=jax.default_backend() == "cpu")
     else:
         backward = backward_xla

@@ -28,6 +28,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--f64", action="store_true")
     p.add_argument("--no-ws", action="store_true")
+    p.add_argument("--ws-jac-only", action="store_true",
+                   help="warm-start only the derivative sweep (re-solves "
+                        "the accepted trajectory: benign) and keep "
+                        "line-search rollouts cold")
     p.add_argument("--kim", type=float, default=0.0)
     p.add_argument("--kappa-eval", type=float, default=1.0e-3)
     p.add_argument("--kappa-grad", type=float, default=1.0e-3)
@@ -75,7 +79,8 @@ def main():
                 xs, us, aux, ws),
             dynamics_jac_batched_ws=lambda ts, xs, us, wss:
                 dyn.step_jac_batched_ws(xs, us, aux, wss),
-            ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs))
+            ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs),
+            ws_linesearch=not args.ws_jac_only)
     opts = dataclasses.replace(opts, con_tol=0.01, rho_max=args.rho_max,
                                alpha_min=1.0e-2)
 
