@@ -234,56 +234,79 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
     n_alpha = int(math.ceil(math.log2(1.0 / opts.alpha_min))) + 1
     alpha_grid = (0.5 ** jnp.arange(n_alpha)).astype(dtype)
 
-    def line_search(xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos,
-                    wss):
-        """(lane x alpha) grid as one batched rollout of B*A lanes."""
-        A = n_alpha
-        rep = lambda a: jnp.repeat(a, A, axis=0)
-        alphas_flat = jnp.tile(alpha_grid, B)           # (B*A,)
-        xss_c, uss_c, Js_c, wss_c = closed_loop(
-            rep(xss), rep(uss), rep(Kss), rep(kss), alphas_flat,
-            rep(lams), rep(lamTs), rep(rhos), rep(wss))
-        Js_c = Js_c.reshape(B, A)
-        expected = (alpha_grid[None] * dV1[:, None]
-                    + alpha_grid[None] ** 2 * dV2[:, None])
-        ok = jnp.logical_and(
-            jnp.isfinite(Js_c),
-            Js_c <= Js[:, None]
-            + opts.armijo_c1 * jnp.minimum(expected, 0.0))
-        accepted = jnp.any(ok, axis=1)
-        pick = jnp.argmax(ok, axis=1)
-        sel = jnp.arange(B) * A + pick
-        return (xss_c[sel], uss_c[sel], Js_c[jnp.arange(B), pick],
-                accepted, wss_c[sel])
+    def _make_line_search(grid):
+        A = int(grid.shape[0])
 
-    def inner_step(xss, uss, Js, regs, lams, lamTs, rhos, active, wss):
-        """One iLQR iteration for every active lane; returns the updated
-        (xss, uss, Js, regs, wss) plus the per-lane convergence signals
-        and the per-lane backward-pass gradient norm |Qu|_inf."""
-        d = derivatives(xss, uss, lams, lamTs, rhos, wss)
-        Kss, kss, dV1, dV2, qu_inf, bp_ok = backward(*d, regs)
-        xss_n, uss_n, Js_n, accepted, wss_n = line_search(
-            xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos, wss)
-        ls_failed = jnp.logical_not(jnp.logical_and(accepted, bp_ok))
-        regs_n = jnp.where(
-            ls_failed,
-            jnp.minimum(regs * opts.reg_up, opts.reg_max),
-            jnp.maximum(regs * opts.reg_down, opts.reg_min))
-        keep = jnp.logical_or(ls_failed, jnp.logical_not(active))
-        xss_n = jnp.where(keep[:, None, None], xss, xss_n)
-        uss_n = jnp.where(keep[:, None, None], uss, uss_n)
-        Js_n = jnp.where(keep, Js, Js_n)
-        regs_n = jnp.where(active, regs_n, regs)
-        wss_n = jnp.where(keep[:, None, None], wss, wss_n)
+        def line_search(xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs,
+                        rhos, wss):
+            """(lane x alpha) grid as one batched rollout of B*A lanes."""
+            rep = lambda a: jnp.repeat(a, A, axis=0)
+            alphas_flat = jnp.tile(grid, B)             # (B*A,)
+            xss_c, uss_c, Js_c, wss_c = closed_loop(
+                rep(xss), rep(uss), rep(Kss), rep(kss), alphas_flat,
+                rep(lams), rep(lamTs), rep(rhos), rep(wss))
+            Js_c = Js_c.reshape(B, A)
+            expected = (grid[None] * dV1[:, None]
+                        + grid[None] ** 2 * dV2[:, None])
+            ok = jnp.logical_and(
+                jnp.isfinite(Js_c),
+                Js_c <= Js[:, None]
+                + opts.armijo_c1 * jnp.minimum(expected, 0.0))
+            accepted = jnp.any(ok, axis=1)
+            pick = jnp.argmax(ok, axis=1)
+            sel = jnp.arange(B) * A + pick
+            return (xss_c[sel], uss_c[sel], Js_c[jnp.arange(B), pick],
+                    accepted, wss_c[sel])
 
-        grad_small = qu_inf < opts.grad_tol
-        obj_small = jnp.abs(Js - Js_n) < opts.obj_tol
-        reg_capped = regs_n >= opts.reg_max
-        newly_done = jnp.logical_or(
-            grad_small,
-            jnp.logical_or(jnp.logical_and(accepted, obj_small),
-                           jnp.logical_and(ls_failed, reg_capped)))
-        return xss_n, uss_n, Js_n, regs_n, wss_n, newly_done, qu_inf
+        return line_search
+
+    line_search = _make_line_search(alpha_grid)
+    # quick grid: the first two candidates. The full grid picks the
+    # FIRST Armijo-passing alpha, so whenever every active lane accepts
+    # within the quick grid the result is identical to the full grid —
+    # the segmented executor exploits this (two-stage line search).
+    line_search_quick = _make_line_search(alpha_grid[:min(2, n_alpha)])
+
+    def _make_inner_step(ls):
+        def inner_step(xss, uss, Js, regs, lams, lamTs, rhos, active,
+                       wss):
+            """One iLQR iteration for every active lane; returns the
+            updated (xss, uss, Js, regs, wss), the per-lane convergence
+            signals, the backward-pass gradient norm |Qu|_inf, and
+            ``ok_lanes`` (accepted-or-inactive — all-True means a quick
+            pass needs no full-grid fallback)."""
+            d = derivatives(xss, uss, lams, lamTs, rhos, wss)
+            Kss, kss, dV1, dV2, qu_inf, bp_ok = backward(*d, regs)
+            xss_n, uss_n, Js_n, accepted, wss_n = ls(
+                xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos, wss)
+            ls_failed = jnp.logical_not(jnp.logical_and(accepted, bp_ok))
+            regs_n = jnp.where(
+                ls_failed,
+                jnp.minimum(regs * opts.reg_up, opts.reg_max),
+                jnp.maximum(regs * opts.reg_down, opts.reg_min))
+            keep = jnp.logical_or(ls_failed, jnp.logical_not(active))
+            xss_n = jnp.where(keep[:, None, None], xss, xss_n)
+            uss_n = jnp.where(keep[:, None, None], uss, uss_n)
+            Js_n = jnp.where(keep, Js, Js_n)
+            regs_n = jnp.where(active, regs_n, regs)
+            wss_n = jnp.where(keep[:, None, None], wss, wss_n)
+
+            grad_small = qu_inf < opts.grad_tol
+            obj_small = jnp.abs(Js - Js_n) < opts.obj_tol
+            reg_capped = regs_n >= opts.reg_max
+            newly_done = jnp.logical_or(
+                grad_small,
+                jnp.logical_or(jnp.logical_and(accepted, obj_small),
+                               jnp.logical_and(ls_failed, reg_capped)))
+            ok_lanes = jnp.logical_or(jnp.logical_and(accepted, bp_ok),
+                                      jnp.logical_not(active))
+            return (xss_n, uss_n, Js_n, regs_n, wss_n, newly_done,
+                    qu_inf, ok_lanes)
+
+        return inner_step
+
+    inner_step = _make_inner_step(line_search)
+    inner_step_quick = _make_inner_step(line_search_quick)
 
     has_con = prob.stage_con is not None
     has_conT = prob.terminal_con is not None
@@ -335,6 +358,7 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         closed_loop=closed_loop, derivatives=derivatives,
         backward=backward, backward_xla=backward_xla,
         line_search=line_search, inner_step=inner_step,
+        inner_step_quick=inner_step_quick,
         con_violation=con_violation, dual_update=dual_update,
         smooth_cost=smooth_cost)
 
@@ -372,7 +396,7 @@ def solve_batched(prob: ILQRProblem, x0s: jnp.ndarray,
                                      jnp.logical_and(act_al,
                                                      it < opts.max_iter))
             (xss_n, uss_n, Js_n, regs_n, wss_n, newly_done,
-             qu_inf) = ph.inner_step(
+             qu_inf, _) = ph.inner_step(
                 xss, uss, Js, regs, lams, lamTs, rhos, active, wss)
             gnorms = jnp.where(active, qu_inf, gnorms)
             done_n = jnp.logical_or(done, newly_done)

@@ -50,12 +50,20 @@ __all__ = ["make_segmented_solver", "solve_segmented"]
 
 def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                           dtype=jnp.float32,
-                          log: Optional[Callable[[str], None]] = None):
+                          log: Optional[Callable[[str], None]] = None,
+                          two_stage_ls: bool = True):
     """Build ``solve(x0s, us_init) -> ILQRResult`` for batch width B.
 
     The returned callable drives the AL / inner loops from the host; the
     jitted phase programs are cached across calls (create the solver
     once, call it many times).
+
+    ``two_stage_ls``: per inner iteration, first run the cheap 2-alpha
+    line-search phase; only when some active lane rejects both
+    candidates re-run the iteration with the full Armijo grid (results
+    are identical to always-full — the full grid picks the FIRST
+    passing alpha — but most iterations accept alpha=1 and skip ~3/4 of
+    the line-search rollout cost).
     """
     assert prob.dynamics_batched is not None, "needs dynamics_batched"
     ph = make_phases(prob, opts, B, dtype)
@@ -65,12 +73,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     rollout_j = jax.jit(ph.rollout_open)
     traj_cost_j = jax.jit(ph.traj_cost)
 
-    @jax.jit
-    def iter_j(xss, uss, Js, regs, lams, lamTs, rhos, active, wss):
-        """One inner iLQR iteration (sweep + backward + line search)."""
-        xss, uss, Js, regs, wss, newly_done, qu_inf = ph.inner_step(
-            xss, uss, Js, regs, lams, lamTs, rhos, active, wss)
-        return xss, uss, Js, regs, wss, newly_done, qu_inf
+    iter_j = jax.jit(ph.inner_step)
+    iter_quick_j = jax.jit(ph.inner_step_quick)
 
     @jax.jit
     def al_round_j(xss, uss, lams, lamTs, rhos, act):
@@ -91,16 +95,29 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         Js = traj_cost_j(xss, uss, lams, lamTs, rhos)
         regs = jnp.full(B, opts.reg_init, dtype)
         done = np.asarray(~act_al)
+        n_quick = 0
         for it in range(opts.max_iter):
             active = jnp.asarray(~done)
-            xss, uss, Js, regs, wss, newly_done, qu_inf = iter_j(
-                xss, uss, Js, regs, lams, lamTs, rhos, active, wss)
+            if two_stage_ls:
+                out_q = iter_quick_j(xss, uss, Js, regs, lams, lamTs,
+                                     rhos, active, wss)
+                if bool(np.asarray(out_q[7]).all()):
+                    out = out_q          # every active lane accepted
+                    n_quick += 1
+                else:                    # full grid from the SAME state
+                    out = iter_j(xss, uss, Js, regs, lams, lamTs, rhos,
+                                 active, wss)
+            else:
+                out = iter_j(xss, uss, Js, regs, lams, lamTs, rhos,
+                             active, wss)
+            xss, uss, Js, regs, wss, newly_done, qu_inf, _ = out
             gnorms = jnp.where(active, qu_inf, gnorms)
             its = its + active.astype(jnp.int32)
             done = done | np.asarray(newly_done)
             if log is not None:
-                log("  inner it=%d J=%.6g done=%d/%d"
-                    % (it, float(jnp.min(Js)), int(done.sum()), B))
+                log("  inner it=%d J=%.6g done=%d/%d quick=%d"
+                    % (it, float(jnp.min(Js)), int(done.sum()), B,
+                       n_quick))
             if done.all():
                 break
         return xss, uss, wss, Js, its, gnorms

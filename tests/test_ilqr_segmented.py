@@ -71,3 +71,47 @@ def test_segmented_contact_matches_fused():
     # solver reusable (jit caches warm): second call, different x0s
     res_2 = solver(x0s + 0.01, us0)
     assert bool(jnp.all(jnp.isfinite(res_2.xs)))
+
+
+def test_two_stage_linesearch_identical():
+    """two_stage_ls=True must be bit-compatible with the full-grid
+    executor: the full grid picks the FIRST Armijo-passing alpha, so an
+    all-lanes quick accept is the same pick, and any rejection falls
+    back to the full grid from the same state."""
+    dyn = make_implicit_dynamics(acrobot.impact_model())
+    aux = acrobot.AcrobotAux(h=0.05)
+    T = 8
+    goal = jnp.array([0.2, 1.2, 0.2, 1.2])
+    from optimization_dynamics_tpu.solver.ilqr import ILQRProblem
+    prob = ILQRProblem(
+        T=T, nx=4, nu=1, ncon=0, nconT=4,
+        dynamics=lambda t, x, u: dyn.step(x, u, aux),
+        dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us, aux),
+        dynamics_batched=lambda t, xs, us: dyn.step_batched(xs, us, aux),
+        stage_cost=lambda t, x, u: 0.5 * jnp.sum(u * u)
+        + 0.5 * jnp.sum((x - goal) ** 2),
+        terminal_cost=lambda x: 5.0 * jnp.sum((x - goal) ** 2),
+        terminal_con=lambda x: x - goal,
+    )
+    opts = ILQROptions(max_iter=10, max_al_iter=2, con_tol=1e-2)
+    B = 4
+    x0s = jnp.tile(jnp.array([0.1, 1.0, 0.1, 1.0]), (B, 1)) \
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(2), (B, 4))
+    us0 = jnp.zeros((T - 1, 1))
+
+    quick = []
+    run2 = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                 two_stage_ls=True,
+                                 log=lambda s: quick.append(s))
+    run1 = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                 two_stage_ls=False)
+    r2 = run2(x0s, us0)
+    r1 = run1(x0s, us0)
+    np.testing.assert_array_equal(np.asarray(r2.us), np.asarray(r1.us))
+    np.testing.assert_array_equal(np.asarray(r2.iterations),
+                                  np.asarray(r1.iterations))
+    # the quick path must actually fire at least once on this problem
+    assert any("quick=" in s and not s.endswith("quick=0")
+               for s in quick if "inner" in s)
