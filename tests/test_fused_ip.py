@@ -146,3 +146,48 @@ def test_fused_pads_ragged_batch():
                                interpret=True)(z0s, thetas)
     assert sol.z.shape == (5, model.nz)
     assert bool(jnp.all(sol.converged))
+
+
+def test_fused_matches_xla_on_swingup_envelope():
+    """Bench-distribution parity (round-2 diag): states spanning the
+    swing-up envelope (|q| up to ~2, angles +-pi, u +-3sigma) — cold
+    solves must agree between the fused kernel and the XLA path at the
+    TPU bench tolerances."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from optimization_dynamics_tpu.models import cartpole
+    from optimization_dynamics_tpu.ops.pallas.fused_ip import (
+        make_fused_ip_solver)
+    from optimization_dynamics_tpu.solver.interior_point import (
+        IPOptions, make_solver_batched)
+
+    model = cartpole.friction_model()
+    opts = IPOptions(r_tol=3.0e-5, kappa_tol=1.0e-3, max_iter=40,
+                     max_ls=8)
+    fused = make_fused_ip_solver(model.residual, model.spec, opts,
+                                 interpret=True)
+    xla = make_solver_batched(model.residual, model.spec, opts)
+    aux = cartpole.CartpoleAux(
+        h=0.05, friction=jnp.asarray([0.35, 0.35], jnp.float32))
+    B = 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q1s = jnp.stack([
+        2.0 * jax.random.normal(ks[0], (B,), jnp.float32),
+        jnp.pi * jax.random.normal(ks[1], (B,), jnp.float32)], axis=1)
+    q0s = q1s - 0.05 * jax.random.normal(ks[2], (B, 2), jnp.float32)
+    us = 3.0 * jax.random.normal(ks[3], (B, 1), jnp.float32)
+    thetas = jax.vmap(lambda q0, q1, u: model.theta_fn(q0, q1, u, aux))(
+        q0s, q1s, us)
+    z0s = jax.vmap(model.init_z)(q1s)
+    sf = fused(z0s, thetas)
+    # f64 XLA reference (the f32 XLA loop promotes under the x64 test
+    # env; the CPU-f32 comparison lives in scripts/diag_fused_tpu.py)
+    sx = jax.jit(xla)(z0s.astype(jnp.float64), thetas.astype(jnp.float64))
+    cf, cx = np.asarray(sf.converged), np.asarray(sx.converged)
+    assert cf.sum() >= cx.sum() - 1, (cf.sum(), cx.sum())
+    both = cf & cx
+    assert both.any()
+    dq = np.abs(np.asarray(sf.z)[both][:, :2]
+                - np.asarray(sx.z)[both][:, :2]).max()
+    assert dq < 1e-4, dq
