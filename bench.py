@@ -60,6 +60,13 @@ def _setup_jax():
     on_tpu = jax.default_backend() != "cpu"
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
+    # TPU matmuls default to bf16 multiplicands on the MXU; the Riccati
+    # einsums, Cholesky solves, and IFT linear solves need full f32
+    # (CPU-f32 converges 16/16 where the bf16 chip run lost lanes). The
+    # KKT/Riccati matrices are tiny (nz<=35, nx<=16), so the 3-pass f32
+    # emulation cost is noise.
+    if os.environ.get("ODX_MATMUL_PRECISION", "highest") != "default":
+        jax.config.update("jax_default_matmul_precision", "highest")
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(HERE, ".jax_cache"))
