@@ -308,6 +308,65 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
     inner_step = _make_inner_step(line_search)
     inner_step_quick = _make_inner_step(line_search_quick)
 
+    def make_inner_scan(k: int):
+        """``k`` inner iterations as ONE device program (a ``lax.scan``
+        of the two-stage inner step), amortizing the per-iteration
+        host<->device dispatch of the segmented executor.
+
+        Decision-identical to ``k`` host-driven two-stage iterations:
+        the quick 2-alpha pass runs first and a ``lax.cond`` re-runs
+        the full Armijo grid from the same state only when some active
+        lane rejected both quick candidates (the full grid takes the
+        FIRST passing alpha, so an all-accept quick pass already equals
+        the full grid). Trajectories match the host loop up to XLA
+        fusion-order rounding (~1e-15/iter; the fused scan contracts
+        fma/reduction order differently from separately-compiled phase
+        programs). Lanes that finish mid-chunk idle behind the
+        ``active`` mask; an all-done chunk step skips the iteration
+        body entirely.
+        """
+
+        def inner_scan(xss, uss, Js, regs, lams, lamTs, rhos, active,
+                       wss, its, gnorms, rit):
+            """``rit`` is the round-local iteration counter (the host
+            passes zeros at the start of each AL round); it enforces
+            the per-round ``max_iter`` budget exactly as the host loop
+            does, even when a k-chunk straddles the budget boundary."""
+            def body(carry, _):
+                xss, uss, Js, regs, wss, active, its, gnorms, rit = carry
+
+                def iterate(xss, uss, Js, regs, wss, active, its,
+                            gnorms, rit):
+                    out_q = inner_step_quick(xss, uss, Js, regs, lams,
+                                             lamTs, rhos, active, wss)
+                    out = jax.lax.cond(
+                        jnp.all(out_q[7]),
+                        lambda: out_q,
+                        lambda: inner_step(xss, uss, Js, regs, lams,
+                                           lamTs, rhos, active, wss))
+                    (xss, uss, Js, regs, wss, newly_done, qu_inf,
+                     _) = out
+                    gnorms = jnp.where(active, qu_inf, gnorms)
+                    its = its + active.astype(jnp.int32)
+                    rit = rit + active.astype(jnp.int32)
+                    active = jnp.logical_and(active,
+                                             jnp.logical_not(newly_done))
+                    active = jnp.logical_and(active, rit < opts.max_iter)
+                    return (xss, uss, Js, regs, wss, active, its,
+                            gnorms, rit)
+
+                new = jax.lax.cond(
+                    jnp.any(active), iterate,
+                    lambda *a: a,
+                    xss, uss, Js, regs, wss, active, its, gnorms, rit)
+                return new, None
+
+            carry = (xss, uss, Js, regs, wss, active, its, gnorms, rit)
+            carry, _ = jax.lax.scan(body, carry, None, length=k)
+            return carry
+
+        return inner_scan
+
     has_con = prob.stage_con is not None
     has_conT = prob.terminal_con is not None
     con_v = (jax.vmap(prob.stage_con, in_axes=(None, 0, 0))
@@ -359,6 +418,7 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         backward=backward, backward_xla=backward_xla,
         line_search=line_search, inner_step=inner_step,
         inner_step_quick=inner_step_quick,
+        make_inner_scan=make_inner_scan,
         con_violation=con_violation, dual_update=dual_update,
         smooth_cost=smooth_cost)
 

@@ -51,7 +51,8 @@ __all__ = ["make_segmented_solver", "solve_segmented"]
 def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                           dtype=jnp.float32,
                           log: Optional[Callable[[str], None]] = None,
-                          two_stage_ls: bool = True):
+                          two_stage_ls: bool = True,
+                          iters_per_dispatch: int = 1):
     """Build ``solve(x0s, us_init) -> ILQRResult`` for batch width B.
 
     The returned callable drives the AL / inner loops from the host; the
@@ -64,6 +65,16 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     are identical to always-full — the full grid picks the FIRST
     passing alpha — but most iterations accept alpha=1 and skip ~3/4 of
     the line-search rollout cost).
+
+    ``iters_per_dispatch`` (k>1): dispatch k inner iterations as ONE
+    device program (``make_phases(...).make_inner_scan``), syncing with
+    the host only between chunks — the two-stage decision moves into a
+    ``lax.cond``, so the solver takes identical decisions (trajectories
+    match up to XLA fusion-order rounding) while the per-iteration
+    dispatch latency is paid once per chunk. The larger program is
+    mid-way between a phase and the monolithic solver: check the fault
+    ladder (docs/fault_ladder.json) before enabling on a suspect
+    backend.
     """
     assert prob.dynamics_batched is not None, "needs dynamics_batched"
     ph = make_phases(prob, opts, B, dtype)
@@ -75,6 +86,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
 
     iter_j = jax.jit(ph.inner_step)
     iter_quick_j = jax.jit(ph.inner_step_quick)
+    k = max(int(iters_per_dispatch), 1)
+    scan_j = jax.jit(ph.make_inner_scan(k)) if k > 1 else None
 
     @jax.jit
     def al_round_j(xss, uss, lams, lamTs, rhos, act):
@@ -91,7 +104,29 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         return ph.traj_cost(xss, uss, lams, lamTs, rhos), \
             ph.smooth_cost(xss, uss)
 
+    def inner_chunked(xss, uss, wss, lams, lamTs, rhos, act_al, its,
+                      gnorms):
+        """k-iterations-per-dispatch inner loop (iters_per_dispatch>1)."""
+        Js = traj_cost_j(xss, uss, lams, lamTs, rhos)
+        regs = jnp.full(B, opts.reg_init, dtype)
+        active = jnp.asarray(act_al)
+        rit = jnp.zeros(B, jnp.int32)
+        for chunk in range((opts.max_iter + k - 1) // k):
+            (xss, uss, Js, regs, wss, active, its, gnorms,
+             rit) = scan_j(xss, uss, Js, regs, lams, lamTs, rhos,
+                           active, wss, its, gnorms, rit)
+            n_active = int(jnp.sum(active))
+            if log is not None:
+                log("  inner chunk=%d (k=%d) J=%.6g active=%d/%d"
+                    % (chunk, k, float(jnp.min(Js)), n_active, B))
+            if n_active == 0:
+                break
+        return xss, uss, wss, Js, its, gnorms
+
     def inner(xss, uss, wss, lams, lamTs, rhos, act_al, its, gnorms):
+        if scan_j is not None:
+            return inner_chunked(xss, uss, wss, lams, lamTs, rhos,
+                                 act_al, its, gnorms)
         Js = traj_cost_j(xss, uss, lams, lamTs, rhos)
         regs = jnp.full(B, opts.reg_init, dtype)
         done = np.asarray(~act_al)

@@ -115,3 +115,54 @@ def test_two_stage_linesearch_identical():
     # the quick path must actually fire at least once on this problem
     assert any("quick=" in s and not s.endswith("quick=0")
                for s in quick if "inner" in s)
+
+
+def test_iters_per_dispatch_identical():
+    """iters_per_dispatch=k (the in-device k-iteration scan with the
+    two-stage decision in a lax.cond) takes the same decisions as the
+    host-driven two-stage executor: identical per-lane iteration counts
+    (the round-local budget counter makes chunks that straddle max_iter
+    exact), identical convergence flags, and trajectories equal up to
+    XLA fusion-order rounding (the fused scan contracts fma/reduction
+    order differently from the separately-compiled phase programs;
+    measured divergence ~1e-15 per iteration)."""
+    dyn = make_implicit_dynamics(acrobot.impact_model())
+    aux = acrobot.AcrobotAux(h=0.05)
+    T = 8
+    goal = jnp.array([0.2, 1.2, 0.2, 1.2])
+    from optimization_dynamics_tpu.solver.ilqr import ILQRProblem
+    prob = ILQRProblem(
+        T=T, nx=4, nu=1, ncon=0, nconT=4,
+        dynamics=lambda t, x, u: dyn.step(x, u, aux),
+        dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us, aux),
+        dynamics_batched=lambda t, xs, us: dyn.step_batched(xs, us, aux),
+        stage_cost=lambda t, x, u: 0.5 * jnp.sum(u * u)
+        + 0.5 * jnp.sum((x - goal) ** 2),
+        terminal_cost=lambda x: 5.0 * jnp.sum((x - goal) ** 2),
+        terminal_con=lambda x: x - goal,
+    )
+    # max_iter=10 with k=4 straddles the budget (chunks 4+4+2)
+    opts = ILQROptions(max_iter=10, max_al_iter=2, con_tol=1e-2)
+    B = 4
+    x0s = jnp.tile(jnp.array([0.1, 1.0, 0.1, 1.0]), (B, 1)) \
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(2), (B, 4))
+    us0 = jnp.zeros((T - 1, 1))
+
+    run1 = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                 two_stage_ls=True)
+    runk = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                 iters_per_dispatch=4)
+    r1 = run1(x0s, us0)
+    rk = runk(x0s, us0)
+    np.testing.assert_allclose(np.asarray(rk.us), np.asarray(r1.us),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(rk.xs), np.asarray(r1.xs),
+                               atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(rk.iterations),
+                                  np.asarray(r1.iterations))
+    np.testing.assert_array_equal(np.asarray(rk.converged),
+                                  np.asarray(r1.converged))
+    np.testing.assert_allclose(np.asarray(rk.gradient_norm),
+                               np.asarray(r1.gradient_norm), rtol=1e-9)
