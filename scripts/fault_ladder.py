@@ -23,6 +23,9 @@ Rungs (cartpole-friction, f32, bench tolerances r_tol=3e-5 kappa=1e-3):
                       (the round-1 faulting fused program)
   r8_segmented_fused  segmented executor phases with fused dynamics,
                       B=128, T=51 (the deploy target for BENCH_r02)
+  r9_segmented_kscan  segmented executor with iters_per_dispatch=4 (the
+                      k-iteration lax.scan chunk — mid-way between a
+                      phase and the monolithic r7 shape)
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/fault_ladder.py
@@ -56,10 +59,12 @@ RUNGS = [
     "r6_vmap_full",
     "r7_fused_full",
     "r8_segmented_fused",
+    "r9_segmented_kscan",
 ]
 
 # generous: remote compiles of full-solve programs take 10-30 min cold
-TIMEOUT_S = {"r7_fused_full": 3600, "r8_segmented_fused": 3600}
+TIMEOUT_S = {"r7_fused_full": 3600, "r8_segmented_fused": 3600,
+             "r9_segmented_kscan": 3600}
 DEFAULT_TIMEOUT_S = 2400
 
 
@@ -295,6 +300,24 @@ def r8_segmented_fused():
     res = run(x0s, us0)
     jax.block_until_ready(res.xs)
     return {"B": B, "T": T, "converged": int(res.converged.sum())}
+
+
+def r9_segmented_kscan():
+    jax = _setup()
+    import jax.numpy as jnp
+    from optimization_dynamics_tpu.solver.ilqr_segmented import (
+        make_segmented_solver)
+    B, T = 128, 51
+    prob, x0, us0, opts = _bench_problem(fused=True, T=T)
+    key = jax.random.PRNGKey(0)
+    x0s = (jnp.tile(x0, (B, 1))
+           + 0.01 * jax.random.normal(key, (B, 4), jnp.float32))
+    run = make_segmented_solver(prob, opts, B, dtype=jnp.float32,
+                                iters_per_dispatch=4,
+                                log=lambda s: print(s, flush=True))
+    res = run(x0s, us0)
+    jax.block_until_ready(res.xs)
+    return {"B": B, "T": T, "k": 4, "converged": int(res.converged.sum())}
 
 
 def main():
