@@ -27,7 +27,12 @@ client):
   4. single full-solve latency;
   5. batched implicit dynamics steps (innermost hot op).
 
-Prints exactly one JSON line.
+A global wall-clock deadline (ODX_BENCH_DEADLINE_S, default 35 min)
+bounds the whole harness: when it trips, the best result found so far is
+reported instead of nothing. "#"-prefixed progress lines per variant
+leave evidence in the output tail even on an external kill.
+
+Prints exactly one JSON line (the last line of output).
 """
 
 from __future__ import annotations
@@ -158,8 +163,15 @@ def _run_segmented(fused: bool, B: int):
     prob, x0, us0, opts = _build(on_tpu, dtype, fused=fused)
     if not on_tpu:
         B = 8
+    # on-chip A/B knobs (scripts/segmented_profile.py feeds the winners
+    # back as defaults): k inner iterations per device dispatch, and the
+    # fused Pallas Riccati backward pass
+    k = int(os.environ.get("ODX_BENCH_K", "1"))
+    if os.environ.get("ODX_BENCH_PALLAS_RICCATI", "0") == "1":
+        opts = dataclasses.replace(opts, pallas_riccati=on_tpu)
     x0s = _x0s(jax, jnp, x0, B, dtype)
-    run = make_segmented_solver(prob, opts, B, dtype=dtype)
+    run = make_segmented_solver(prob, opts, B, dtype=dtype,
+                                iters_per_dispatch=k)
     res = run(x0s, us0.astype(dtype))
     jax.block_until_ready(res.xs)
     t0 = time.perf_counter()
@@ -167,15 +179,17 @@ def _run_segmented(fused: bool, B: int):
     jax.block_until_ready(res.xs)
     dt = time.perf_counter() - t0
     name = "segmented+fused-ip" if fused else "segmented+xla"
+    if k > 1:
+        name += " k=%d" % k
     return _result(name, B, int(jnp.sum(res.converged)), dt)
 
 
 def variant_segmented_fused():
-    return _run_segmented(True, int(os.environ.get("ODX_BENCH_B", "256")))
+    return _run_segmented(True, int(os.environ.get("ODX_BENCH_B", "128")))
 
 
 def variant_segmented():
-    return _run_segmented(False, int(os.environ.get("ODX_BENCH_B", "256")))
+    return _run_segmented(False, int(os.environ.get("ODX_BENCH_B", "128")))
 
 
 def variant_batched(B: int = 64):
@@ -265,18 +279,38 @@ def main():
               "segmented": variant_segmented,
               "batched": variant_batched,
               "single": variant_single, "steps": variant_steps}[name]
-        print(json.dumps(fn()))
+        print(json.dumps(fn()), flush=True)
         return
 
     env = dict(os.environ)
     env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
+    # Global wall-clock deadline (VERDICT r2 #1: the round-2 harness blew
+    # the driver budget with rc=124 and zero evidence). When the deadline
+    # hits, print the best result found so far instead of dying silently.
+    # Progress lines per variant ("#"-prefixed, flushed) leave evidence in
+    # the output tail even if the harness is killed from outside.
+    deadline = float(os.environ.get("ODX_BENCH_DEADLINE_S", "2100"))
+    per_variant = float(os.environ.get("ODX_BENCH_VARIANT_TIMEOUT_S",
+                                       "1800"))
+    t_start = time.monotonic()
+
+    def note(msg):
+        print("# " + msg, flush=True)
+
     last_err = None
     best_gated = None            # completed but < CONV_GATE converged
     for name in VARIANTS:
+        remaining = deadline - (time.monotonic() - t_start)
+        if remaining < 120.0:
+            note("deadline reached before variant %s" % name)
+            break
+        budget = min(per_variant, remaining)
+        note("variant %s starting (budget %.0fs)" % (name, budget))
         try:
+            t0 = time.monotonic()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), name],
-                capture_output=True, text=True, timeout=3000, env=env)
+                capture_output=True, text=True, timeout=budget, env=env)
             parsed = None
             for line in out.stdout.strip().splitlines()[::-1]:
                 line = line.strip()
@@ -285,25 +319,32 @@ def main():
                     break
             if parsed is None:
                 last_err = out.stderr[-300:]
+                note("variant %s produced no result (rc=%d): %s"
+                     % (name, out.returncode,
+                        (out.stderr or "")[-200:].replace("\n", " ")))
                 continue
+            note("variant %s done in %.0fs: value=%s conv=%s"
+                 % (name, time.monotonic() - t0, parsed.get("value"),
+                    parsed.get("converged_frac")))
             if parsed.get("converged_frac", 0.0) >= CONV_GATE:
-                print(json.dumps(parsed))
+                print(json.dumps(parsed), flush=True)
                 return
             if (best_gated is None
                     or parsed.get("value", 0) > best_gated.get("value", 0)):
                 best_gated = parsed
         except subprocess.TimeoutExpired:
             last_err = f"variant {name} timed out"
+            note("variant %s timed out after %.0fs" % (name, budget))
     if best_gated is not None:
         # below the honesty gate: report it, but flag it loudly
         best_gated["metric"] = ("[BELOW %.0f%% CONVERGENCE GATE] "
                                 % (100 * CONV_GATE)) + best_gated["metric"]
-        print(json.dumps(best_gated))
+        print(json.dumps(best_gated), flush=True)
         return
     print(json.dumps({
         "metric": "benchmark failed on all variants: %s" % (last_err or ""),
         "value": 0.0, "unit": "solves/s", "vs_baseline": 0.0,
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -308,7 +308,7 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
     inner_step = _make_inner_step(line_search)
     inner_step_quick = _make_inner_step(line_search_quick)
 
-    def make_inner_scan(k: int):
+    def make_inner_scan(k: int, two_stage: bool = True):
         """``k`` inner iterations as ONE device program (a ``lax.scan``
         of the two-stage inner step), amortizing the per-iteration
         host<->device dispatch of the segmented executor.
@@ -324,6 +324,10 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         programs). Lanes that finish mid-chunk idle behind the
         ``active`` mask; an all-done chunk step skips the iteration
         body entirely.
+
+        ``two_stage=False`` skips the quick pass and its ``lax.cond``
+        entirely (every iteration runs the full Armijo grid) — the
+        smaller program a caller who disabled ``two_stage_ls`` expects.
         """
 
         def inner_scan(xss, uss, Js, regs, lams, lamTs, rhos, active,
@@ -337,13 +341,17 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
 
                 def iterate(xss, uss, Js, regs, wss, active, its,
                             gnorms, rit):
-                    out_q = inner_step_quick(xss, uss, Js, regs, lams,
-                                             lamTs, rhos, active, wss)
-                    out = jax.lax.cond(
-                        jnp.all(out_q[7]),
-                        lambda: out_q,
-                        lambda: inner_step(xss, uss, Js, regs, lams,
-                                           lamTs, rhos, active, wss))
+                    if two_stage:
+                        out_q = inner_step_quick(xss, uss, Js, regs, lams,
+                                                 lamTs, rhos, active, wss)
+                        out = jax.lax.cond(
+                            jnp.all(out_q[7]),
+                            lambda: out_q,
+                            lambda: inner_step(xss, uss, Js, regs, lams,
+                                               lamTs, rhos, active, wss))
+                    else:
+                        out = inner_step(xss, uss, Js, regs, lams,
+                                         lamTs, rhos, active, wss)
                     (xss, uss, Js, regs, wss, newly_done, qu_inf,
                      _) = out
                     gnorms = jnp.where(active, qu_inf, gnorms)

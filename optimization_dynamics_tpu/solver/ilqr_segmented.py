@@ -52,7 +52,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                           dtype=jnp.float32,
                           log: Optional[Callable[[str], None]] = None,
                           two_stage_ls: bool = True,
-                          iters_per_dispatch: int = 1):
+                          iters_per_dispatch: int = 1,
+                          timers=None):
     """Build ``solve(x0s, us_init) -> ILQRResult`` for batch width B.
 
     The returned callable drives the AL / inner loops from the host; the
@@ -69,12 +70,17 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     ``iters_per_dispatch`` (k>1): dispatch k inner iterations as ONE
     device program (``make_phases(...).make_inner_scan``), syncing with
     the host only between chunks — the two-stage decision moves into a
-    ``lax.cond``, so the solver takes identical decisions (trajectories
-    match up to XLA fusion-order rounding) while the per-iteration
-    dispatch latency is paid once per chunk. The larger program is
-    mid-way between a phase and the monolithic solver: check the fault
-    ladder (docs/fault_ladder.json) before enabling on a suspect
-    backend.
+    ``lax.cond`` (or is omitted when ``two_stage_ls=False``), so the
+    solver takes identical decisions (trajectories match up to XLA
+    fusion-order rounding) while the per-iteration dispatch latency is
+    paid once per chunk. The larger program is mid-way between a phase
+    and the monolithic solver: check the fault ladder
+    (docs/fault_ladder.json) before enabling on a suspect backend.
+
+    ``timers``: an optional ``utils.profiling.PhaseTimer``; every jitted
+    phase program is wrapped with a barrier so ``timers.report()`` gives
+    the per-phase latency budget (profiling only — the barriers
+    serialize dispatch).
     """
     assert prob.dynamics_batched is not None, "needs dynamics_batched"
     ph = make_phases(prob, opts, B, dtype)
@@ -87,7 +93,15 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     iter_j = jax.jit(ph.inner_step)
     iter_quick_j = jax.jit(ph.inner_step_quick)
     k = max(int(iters_per_dispatch), 1)
-    scan_j = jax.jit(ph.make_inner_scan(k)) if k > 1 else None
+    scan_j = (jax.jit(ph.make_inner_scan(k, two_stage=two_stage_ls))
+              if k > 1 else None)
+    if timers is not None:
+        rollout_j = timers.wrap("rollout_open", rollout_j)
+        traj_cost_j = timers.wrap("traj_cost", traj_cost_j)
+        iter_j = timers.wrap("inner_full", iter_j)
+        iter_quick_j = timers.wrap("inner_quick", iter_quick_j)
+        if scan_j is not None:
+            scan_j = timers.wrap("inner_scan_k%d" % k, scan_j)
 
     @jax.jit
     def al_round_j(xss, uss, lams, lamTs, rhos, act):
@@ -103,6 +117,10 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     def finish_j(xss, uss, lams, lamTs, rhos):
         return ph.traj_cost(xss, uss, lams, lamTs, rhos), \
             ph.smooth_cost(xss, uss)
+
+    if timers is not None:
+        al_round_j = timers.wrap("al_round", al_round_j)
+        finish_j = timers.wrap("finish", finish_j)
 
     def inner_chunked(xss, uss, wss, lams, lamTs, rhos, act_al, its,
                       gnorms):
