@@ -141,6 +141,17 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 break
         return xss, uss, wss, Js, its, gnorms
 
+    # After a quick-pass rejection the executor pays BOTH line searches
+    # (quick + full-grid fallback = 1.25x a full-only iteration). Late
+    # in a lockstep batch the quick pass fails persistently (every lane
+    # must accept within 2 alphas), so the host policy is adaptive: a
+    # quick-fail switches to full-grid-only and the quick pass is
+    # re-probed every QUICK_RETRY iterations. Decisions are unchanged
+    # (the fallback runs from the same state); only the cost profile
+    # moves — worst case ~1/QUICK_RETRY extra, best case ~4x cheaper
+    # line searches.
+    QUICK_RETRY = 4
+
     def inner(xss, uss, wss, lams, lamTs, rhos, act_al, its, gnorms):
         if scan_j is not None:
             return inner_chunked(xss, uss, wss, lams, lamTs, rhos,
@@ -149,9 +160,10 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         regs = jnp.full(B, opts.reg_init, dtype)
         done = np.asarray(~act_al)
         n_quick = 0
+        since_quick_fail = QUICK_RETRY       # start optimistic
         for it in range(opts.max_iter):
             active = jnp.asarray(~done)
-            if two_stage_ls:
+            if two_stage_ls and since_quick_fail >= QUICK_RETRY:
                 out_q = iter_quick_j(xss, uss, Js, regs, lams, lamTs,
                                      rhos, active, wss)
                 if bool(np.asarray(out_q[7]).all()):
@@ -160,7 +172,9 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 else:                    # full grid from the SAME state
                     out = iter_j(xss, uss, Js, regs, lams, lamTs, rhos,
                                  active, wss)
+                    since_quick_fail = 0
             else:
+                since_quick_fail += 1
                 out = iter_j(xss, uss, Js, regs, lams, lamTs, rhos,
                              active, wss)
             xss, uss, Js, regs, wss, newly_done, qu_inf, _ = out

@@ -33,6 +33,13 @@ def main():
                         "the accepted trajectory: benign) and keep "
                         "line-search rollouts cold")
     p.add_argument("--kim", type=float, default=0.0)
+    p.add_argument("--mehrotra-grad", action="store_true",
+                   help="Mehrotra predictor-corrector in the derivative "
+                        "sweep only (re-solves the accepted trajectory: "
+                        "branch-safe by construction, DESIGN.md §3)")
+    p.add_argument("--mehrotra-eval", action="store_true",
+                   help="Mehrotra in the eval/rollout solver too "
+                        "(branch-selection risk on the knife edge)")
     p.add_argument("--kappa-eval", type=float, default=1.0e-3)
     p.add_argument("--kappa-grad", type=float, default=1.0e-3)
     p.add_argument("--r-tol", type=float, default=3.0e-5)
@@ -61,10 +68,12 @@ def main():
         model,
         eval_opts=IPOptions(r_tol=args.r_tol, kappa_tol=args.kappa_eval,
                             max_iter=40, max_ls=8,
-                            kappa_init_min=args.kim),
+                            kappa_init_min=args.kim,
+                            mehrotra=args.mehrotra_eval),
         grad_opts=IPOptions(r_tol=args.r_tol, kappa_tol=args.kappa_grad,
                             max_iter=40, max_ls=8,
-                            kappa_init_min=args.kim))
+                            kappa_init_min=args.kim,
+                            mehrotra=args.mehrotra_grad))
     prob = prob._replace(
         dynamics=lambda t, x, u: dyn.step(x, u, aux),
         dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),

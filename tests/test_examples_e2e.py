@@ -96,9 +96,15 @@ def test_rocket_projection_landing():
 
 
 @pytest.mark.slow
-def test_hopper_gait():
+@pytest.mark.parametrize("gait", [1, 2, 3])
+def test_hopper_gait(gait):
+    """All three reference gaits (cost weights at
+    /root/reference/examples/hopper.jl:190-212). Gaits 2/3 were recorded
+    converged in BASELINE.md since round 1 but previously unpinned — a
+    regression in the harder gaits would have passed CI silently
+    (VERDICT r2 missing #5)."""
     from optimization_dynamics_tpu.examples import hopper as ex
-    prob, x0, us0, opts = ex.build_problem(1)
+    prob, x0, us0, opts = ex.build_problem(gait)
     res = jax.jit(lambda x, u: solve(prob, x, u, opts))(x0, us0)
     assert bool(res.converged)
     x = np.asarray(res.xs[-1])
@@ -106,4 +112,4 @@ def test_hopper_gait():
     assert x[0] - theta[0] >= 0.5 - 1e-3          # travel
     assert np.max(np.abs(np.concatenate(
         [x[1:4] - theta[1:4], x[5:8] - theta[5:8]]))) < 1e-2  # periodicity
-    _check_golden("hopper_gait1_objective", float(res.objective))
+    _check_golden(f"hopper_gait{gait}_objective", float(res.objective))
