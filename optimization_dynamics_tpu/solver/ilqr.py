@@ -137,6 +137,16 @@ class ILQRProblem(NamedTuple):
     # cartpole-friction (knife-edge, scripts/repro_f32.py): warm
     # line-search rollouts converge 6/16 lanes, cold 16/16.
     ws_linesearch: bool = True
+    # thread each lane's PREVIOUS-timestep solver variables through the
+    # batched open-loop and line-search rollouts (the batched analog of
+    # ``dynamics_carry``: warm-start step t from the same rollout's step
+    # t-1 solution). Unlike ``ws_linesearch`` — which warm-starts from a
+    # DIFFERENT trajectory (the previous accepted one) and flips
+    # complementarity branches on knife-edge problems — the carry stays
+    # on the trajectory being rolled out; consecutive states change
+    # slowly, and ``kappa_init_min`` restores a short central-path
+    # continuation. Only read when ``ws_linesearch`` is False.
+    ws_carry: bool = False
 
 
 class ILQRResult(NamedTuple):

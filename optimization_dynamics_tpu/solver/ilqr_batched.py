@@ -87,20 +87,35 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
     # measured ~1 Newton iteration warm vs ~20 cold
     has_bws = (prob.dynamics_batched_ws is not None
                and prob.ws_init_batched is not None)
+    # cross-time carry: warm-start step t from the SAME rollout's step
+    # t-1 solution (branch-safe: same trajectory, slowly-varying states;
+    # docs/DESIGN.md §3). Only active when accepted-trajectory warm
+    # starts are off.
+    ws_carry = has_bws and prob.ws_carry and not prob.ws_linesearch
 
     def rollout_open(x0s, uss):
         """Open-loop rollout; with warm starts also returns the per-step
-        solver variables ``wss (B, T-1, nws)`` seeding the first sweep."""
-        def f(xs, tu):
+        solver variables ``wss (B, T-1, nws)`` seeding the first sweep.
+
+        ``ws_carry`` threads the previous timestep's solver variables
+        through the scan carry; when off, the carry is just the state —
+        same traced program (and compile-cache key) as before the flag
+        existed."""
+        def f(carry, tu):
+            xs, ws_prev = carry if ws_carry else (carry, None)
             t, us = tu
             if has_bws:
-                ws0 = prob.ws_init_batched(t, xs, us)
+                ws0 = (ws_prev if ws_carry
+                       else prob.ws_init_batched(t, xs, us))
                 ys, ws = prob.dynamics_batched_ws(t, xs, us, ws0)
-                return ys, (ys, ws)
-            ys = prob.dynamics_batched(t, xs, us)
-            return ys, (ys, jnp.zeros((xs.shape[0], 1), xs.dtype))
+            else:
+                ys = prob.dynamics_batched(t, xs, us)
+                ws = jnp.zeros((xs.shape[0], 1), xs.dtype)
+            return ((ys, ws) if ws_carry else ys), (ys, ws)
 
-        _, (yss, wss) = jax.lax.scan(f, x0s,
+        init = ((x0s, prob.ws_init_batched(0, x0s, uss[:, 0]))
+                if ws_carry else x0s)
+        _, (yss, wss) = jax.lax.scan(f, init,
                                      (ts, jnp.swapaxes(uss, 0, 1)))
         xss = jnp.concatenate([x0s[:, None], jnp.swapaxes(yss, 0, 1)],
                               axis=1)
@@ -116,27 +131,41 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
                     wss):
         """alphas: (B,). Returns xss, uss, Js, wss_new."""
         def f(carry, inp):
-            xs, Js = carry
+            if ws_carry:
+                xs, Js, ws_prev = carry
+            else:
+                xs, Js = carry
+                ws_prev = None
             t, xs_ref_t, us_ref_t, Ks_t, ks_t, ws_t = inp
             us = (us_ref_t + alphas[:, None] * ks_t
                   + jnp.einsum("bij,bj->bi", Ks_t, xs - xs_ref_t))
             us = jnp.where(prob.u_mask[t][None], us, us_ref_t)
             Js = Js + stage_al_v(t, xs, us, lams[:, t], rhos)
             if has_bws:
-                ws0 = (ws_t if prob.ws_linesearch
-                       else prob.ws_init_batched(t, xs, us))
+                if prob.ws_linesearch:
+                    ws0 = ws_t
+                elif ws_carry:
+                    ws0 = ws_prev
+                else:
+                    ws0 = prob.ws_init_batched(t, xs, us)
                 ys, ws_new = prob.dynamics_batched_ws(t, xs, us, ws0)
             else:
                 ys = prob.dynamics_batched(t, xs, us)
                 ws_new = ws_t
-            return (ys, Js), (xs, us, ws_new)
+            new_carry = ((ys, Js, ws_new) if ws_carry else (ys, Js))
+            return new_carry, (xs, us, ws_new)
 
-        (xTs, Js), (xss, uss, wss_new) = jax.lax.scan(
-            f, (xss_ref[:, 0], jnp.zeros(xss_ref.shape[0], dtype)),
+        x0 = xss_ref[:, 0]
+        J0 = jnp.zeros(xss_ref.shape[0], dtype)
+        init = ((x0, J0, prob.ws_init_batched(0, x0, uss_ref[:, 0]))
+                if ws_carry else (x0, J0))
+        final, (xss, uss, wss_new) = jax.lax.scan(
+            f, init,
             (ts, jnp.swapaxes(xss_ref[:, :-1], 0, 1),
              jnp.swapaxes(uss_ref, 0, 1),
              jnp.swapaxes(Kss, 0, 1), jnp.swapaxes(kss, 0, 1),
              jnp.swapaxes(wss, 0, 1)))
+        xTs, Js = final[0], final[1]
         Js = Js + terminal_al_v(xTs, lamTs, rhos)
         xss = jnp.concatenate(
             [jnp.swapaxes(xss, 0, 1), xTs[:, None]], axis=1)

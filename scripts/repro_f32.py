@@ -32,6 +32,11 @@ def main():
                    help="warm-start only the derivative sweep (re-solves "
                         "the accepted trajectory: benign) and keep "
                         "line-search rollouts cold")
+    p.add_argument("--ws-carry", action="store_true",
+                   help="with --ws-jac-only: additionally thread each "
+                        "rollout's previous-TIMESTEP solver variables as "
+                        "warm starts (same-trajectory carry; branch-safe "
+                        "per docs/DESIGN.md §3, measured here)")
     p.add_argument("--kim", type=float, default=0.0)
     p.add_argument("--mehrotra-grad", action="store_true",
                    help="Mehrotra predictor-corrector in the derivative "
@@ -89,7 +94,8 @@ def main():
             dynamics_jac_batched_ws=lambda ts, xs, us, wss:
                 dyn.step_jac_batched_ws(xs, us, aux, wss),
             ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs),
-            ws_linesearch=not args.ws_jac_only)
+            ws_linesearch=not args.ws_jac_only,
+            ws_carry=args.ws_carry)
     opts = dataclasses.replace(opts, con_tol=0.01, rho_max=args.rho_max,
                                alpha_min=1.0e-2)
 
