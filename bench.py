@@ -169,9 +169,19 @@ def _run_segmented(fused: bool, B: int):
     k = int(os.environ.get("ODX_BENCH_K", "1"))
     if os.environ.get("ODX_BENCH_PALLAS_RICCATI", "0") == "1":
         opts = dataclasses.replace(opts, pallas_riccati=on_tpu)
+    # straggler policy: drop lanes whose violation stalls for 2 AL rounds
+    # (host-side only — phase programs and their compile-cache keys are
+    # unchanged). The round-3 phase budget measured 2/128 hopeless lanes
+    # holding all 20 AL rounds open at ~0.45 s per lockstep iteration.
+    stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
+    # ODX_BENCH_LOG=1: per-AL-round host log (costs a scalar device sync
+    # per inner iteration — diagnosis only, skews the timing slightly)
+    log = ((lambda s: print("# " + s, flush=True))
+           if os.environ.get("ODX_BENCH_LOG", "0") == "1" else None)
     x0s = _x0s(jax, jnp, x0, B, dtype)
     run = make_segmented_solver(prob, opts, B, dtype=dtype,
-                                iters_per_dispatch=k)
+                                iters_per_dispatch=k,
+                                al_stall_rounds=stall, log=log)
     res = run(x0s, us0.astype(dtype))
     jax.block_until_ready(res.xs)
     t0 = time.perf_counter()

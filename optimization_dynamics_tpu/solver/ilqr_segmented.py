@@ -53,6 +53,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                           log: Optional[Callable[[str], None]] = None,
                           two_stage_ls: bool = True,
                           iters_per_dispatch: int = 1,
+                          al_stall_rounds: int = 0,
+                          al_stall_improve: float = 0.999,
                           timers=None):
     """Build ``solve(x0s, us_init) -> ILQRResult`` for batch width B.
 
@@ -76,6 +78,27 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     paid once per chunk. The larger program is mid-way between a phase
     and the monolithic solver: check the fault ladder
     (docs/fault_ladder.json) before enabling on a suspect backend.
+
+    ``al_stall_rounds`` (straggler policy, 0 = off): drop a lane from
+    the active set (``converged=False``) once it is provably hopeless —
+    for ``al_stall_rounds`` consecutive AL rounds, (a) its penalty has
+    reached ``rho_max`` (no further penalty pressure is coming; with
+    ``rho_max=inf`` the policy never fires), and (b) the rounds needed
+    to reach ``con_tol`` at its measured per-round violation-improvement
+    rate exceed the rounds remaining in the ``max_al_iter`` budget. Such
+    a lane would finish the budget unconverged anyway (IterativeLQR
+    semantics: return unconverged when the budget ends); dropping it
+    early stops it holding every remaining lockstep AL round — and each
+    round's inner-iteration budget — open for the whole batch. The
+    round-3 on-chip phase budget (BASELINE.md) measured 2/128 stragglers
+    keeping all 20 AL rounds alive: 1210 dispatched inner iterations for
+    a per-lane mean of 461. A naive no-improvement test is NOT safe
+    here: AL violation plateaus for the first rounds while rho builds
+    (measured: max-vio 3.15 -> 3.15 -> 2.99 -> 0.40 -> 0.044 -> 0.0096
+    on the CPU bench config), which is why the criterion projects the
+    remaining budget instead of thresholding raw improvement.
+    ``al_stall_improve`` is the rate above which a lane counts as
+    non-improving regardless of projection (guards rate ~ 1 noise).
 
     ``timers``: an optional ``utils.profiling.PhaseTimer``; every jitted
     phase program is wrapped with a barrier so ``timers.report()`` gives
@@ -204,20 +227,47 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         its = jnp.zeros(B, jnp.int32)
         gnorms = jnp.full(B, jnp.inf, dtype)
         vio = np.full(B, np.inf)
+        stall = np.zeros(B, np.int64)
+        failed = np.zeros(B, bool)
         al_it = 0
 
         if ph.has_con or ph.has_conT:
             for al_it in range(1, opts.max_al_iter + 1):
-                act = jnp.asarray(vio >= opts.con_tol)
+                act_np = (vio >= opts.con_tol) & ~failed
+                if not act_np.any():
+                    break
+                act = jnp.asarray(act_np)
                 xss, uss, wss, Js, its, gnorms = inner(
-                    xss, uss, wss, lams, lamTs, rhos, np.asarray(act), its,
+                    xss, uss, wss, lams, lamTs, rhos, act_np, its,
                     gnorms)
                 vio_n, lams, lamTs, rhos = al_round_j(
                     xss, uss, lams, lamTs, rhos, act)
-                vio = np.where(np.asarray(act), np.asarray(vio_n), vio)
+                vio_new = np.where(act_np, np.asarray(vio_n), vio)
+                if al_stall_rounds > 0 and np.isfinite(opts.rho_max):
+                    rho_capped = np.asarray(rhos) >= 0.99 * opts.rho_max
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        rate = vio_new / np.maximum(vio, 1e-300)
+                        need = np.where(
+                            rate < al_stall_improve,
+                            np.log(np.maximum(opts.con_tol, 1e-300)
+                                   / np.maximum(vio_new, 1e-300))
+                            / np.log(np.maximum(rate, 1e-300)),
+                            np.inf)
+                    rounds_left = opts.max_al_iter - al_it
+                    hopeless = (act_np & rho_capped
+                                & (vio_new >= opts.con_tol)
+                                & (need > rounds_left))
+                    stall = np.where(hopeless, stall + 1, 0)
+                    newly_failed = act_np & (stall >= al_stall_rounds)
+                    if newly_failed.any() and log is not None:
+                        log("al round %d: dropping %d hopeless lane(s) "
+                            "(vio %s)" % (al_it, int(newly_failed.sum()),
+                                          vio_new[newly_failed]))
+                    failed |= newly_failed
+                vio = vio_new
                 if log is not None:
                     log("al round %d: max vio %.3e" % (al_it, vio.max()))
-                if (vio < opts.con_tol).all():
+                if ((vio < opts.con_tol) | failed).all():
                     break
         else:
             xss, uss, wss, Js, its, gnorms = inner(

@@ -68,8 +68,10 @@ def main():
     x0s = bench._x0s(jax, jnp, x0, B, dtype)
 
     timers = PhaseTimer()
+    stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
     solve = make_segmented_solver(prob, opts, B, dtype=dtype,
-                                  iters_per_dispatch=k, timers=timers)
+                                  iters_per_dispatch=k, timers=timers,
+                                  al_stall_rounds=stall)
     # first call: compile everything (cached to .jax_cache)
     res = solve(x0s, us0.astype(dtype))
     jax.block_until_ready(res.xs)

@@ -220,3 +220,49 @@ def test_phase_timers():
         assert phase in rep["phases_s"], rep
         assert rep["phase_calls"][phase] >= 1
     assert abs(rep["host_and_dispatch_s"] - 0.5) < 1e-6
+
+
+def test_al_stall_policy_drops_stragglers():
+    """al_stall_rounds: lanes whose violation stops improving are
+    dropped from the active set, ending the AL loop early instead of
+    serving hopeless lanes for the full ``max_al_iter`` budget (the
+    round-3 on-chip phase budget measured 2/128 stragglers holding all
+    20 AL rounds open). With an unsatisfiable con_tol every lane stalls,
+    so the policy must terminate the solve in ~(stall window + a few)
+    rounds with converged all-False; without the policy the loop runs
+    all max_al_iter rounds. On a healthy batch the policy must be a
+    no-op (identical results)."""
+    prob = _lqr_problem()
+    B = 4
+    x0s = 0.2 * jax.random.normal(jax.random.PRNGKey(5), (B, 2))
+    us0 = jnp.zeros((prob.T - 1, 1))
+
+    # unsatisfiable: violations floor at finite solver accuracy >> 0
+    impossible = ILQROptions(con_tol=1e-30, max_al_iter=12, max_iter=8,
+                             rho_max=1e8)
+    logs = []
+    run_stall = make_segmented_solver(prob, impossible, B,
+                                      dtype=x0s.dtype, al_stall_rounds=2,
+                                      log=lambda s: logs.append(s))
+    rs = run_stall(x0s, us0)
+    assert not bool(jnp.any(rs.converged))
+    al_rounds_stall = int(rs.al_iterations[0])
+    assert al_rounds_stall < impossible.max_al_iter, (
+        "stall policy did not cut the AL loop short", al_rounds_stall)
+    assert any("hopeless lane" in s for s in logs), logs
+
+    run_off = make_segmented_solver(prob, impossible, B, dtype=x0s.dtype)
+    ro = run_off(x0s, us0)
+    assert int(ro.al_iterations[0]) == impossible.max_al_iter
+
+    # healthy batch: policy never triggers -> identical decisions
+    healthy = ILQROptions(con_tol=1e-5)
+    r_on = make_segmented_solver(prob, healthy, B, dtype=x0s.dtype,
+                                 al_stall_rounds=2)(x0s, us0)
+    r_off = make_segmented_solver(prob, healthy, B,
+                                  dtype=x0s.dtype)(x0s, us0)
+    assert bool(jnp.all(r_on.converged))
+    np.testing.assert_array_equal(np.asarray(r_on.us),
+                                  np.asarray(r_off.us))
+    np.testing.assert_array_equal(np.asarray(r_on.iterations),
+                                  np.asarray(r_off.iterations))
