@@ -295,6 +295,12 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
     # within the quick grid the result is identical to the full grid —
     # the segmented executor exploits this (two-stage line search).
     line_search_quick = _make_line_search(alpha_grid[:min(2, n_alpha)])
+    # mid grid: the first four candidates — the cascade's middle rung
+    # (same first-accept identity argument as the quick grid; the
+    # round-3 phase budget measured the 8-alpha rollout at 86% of a
+    # full inner iteration, so accepting at alpha in {0.25, 0.125}
+    # through a half-width grid saves ~43% of the dominant term)
+    line_search_mid = _make_line_search(alpha_grid[:min(4, n_alpha)])
 
     def _make_inner_step(ls):
         def inner_step(xss, uss, Js, regs, lams, lamTs, rhos, active,
@@ -336,6 +342,9 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
 
     inner_step = _make_inner_step(line_search)
     inner_step_quick = _make_inner_step(line_search_quick)
+    # None when the full grid is already <= 4 alphas (mid == full)
+    inner_step_mid = (_make_inner_step(line_search_mid)
+                      if n_alpha > 4 else None)
 
     def make_inner_scan(k: int, two_stage: bool = True):
         """``k`` inner iterations as ONE device program (a ``lax.scan``
@@ -455,6 +464,7 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         backward=backward, backward_xla=backward_xla,
         line_search=line_search, inner_step=inner_step,
         inner_step_quick=inner_step_quick,
+        inner_step_mid=inner_step_mid,
         make_inner_scan=make_inner_scan,
         con_violation=con_violation, dual_update=dual_update,
         smooth_cost=smooth_cost)

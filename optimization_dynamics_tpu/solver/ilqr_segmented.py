@@ -55,6 +55,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                           iters_per_dispatch: int = 1,
                           al_stall_rounds: int = 0,
                           al_stall_improve: float = 0.999,
+                          mid_ls: bool = True,
                           timers=None):
     """Build ``solve(x0s, us_init) -> ILQRResult`` for batch width B.
 
@@ -67,7 +68,10 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     candidates re-run the iteration with the full Armijo grid (results
     are identical to always-full — the full grid picks the FIRST
     passing alpha — but most iterations accept alpha=1 and skip ~3/4 of
-    the line-search rollout cost).
+    the line-search rollout cost). ``mid_ls`` adds a 4-alpha middle
+    rung to the cascade (same first-accept identity; saves ~43% of the
+    dominant full-grid term whenever a rejection lands at alpha 0.25 or
+    0.125); it is disabled together with ``two_stage_ls=False``.
 
     ``iters_per_dispatch`` (k>1): dispatch k inner iterations as ONE
     device program (``make_phases(...).make_inner_scan``), syncing with
@@ -115,6 +119,12 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
 
     iter_j = jax.jit(ph.inner_step)
     iter_quick_j = jax.jit(ph.inner_step_quick)
+    # the mid probe is part of the staged-line-search machinery:
+    # two_stage_ls=False means "full grid only", so it disables the mid
+    # rung too
+    iter_mid_j = (jax.jit(ph.inner_step_mid)
+                  if (mid_ls and two_stage_ls
+                      and ph.inner_step_mid is not None) else None)
     k = max(int(iters_per_dispatch), 1)
     scan_j = (jax.jit(ph.make_inner_scan(k, two_stage=two_stage_ls))
               if k > 1 else None)
@@ -123,6 +133,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         traj_cost_j = timers.wrap("traj_cost", traj_cost_j)
         iter_j = timers.wrap("inner_full", iter_j)
         iter_quick_j = timers.wrap("inner_quick", iter_quick_j)
+        if iter_mid_j is not None:
+            iter_mid_j = timers.wrap("inner_mid", iter_mid_j)
         if scan_j is not None:
             scan_j = timers.wrap("inner_scan_k%d" % k, scan_j)
 
@@ -164,15 +176,17 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 break
         return xss, uss, wss, Js, its, gnorms
 
-    # After a quick-pass rejection the executor pays BOTH line searches
-    # (quick + full-grid fallback = 1.25x a full-only iteration). Late
-    # in a lockstep batch the quick pass fails persistently (every lane
-    # must accept within 2 alphas), so the host policy is adaptive: a
-    # quick-fail switches to full-grid-only and the quick pass is
-    # re-probed every QUICK_RETRY iterations. Decisions are unchanged
-    # (the fallback runs from the same state); only the cost profile
-    # moves — worst case ~1/QUICK_RETRY extra, best case ~4x cheaper
-    # line searches.
+    # Cascaded line search: quick 2-alpha -> mid 4-alpha -> full grid.
+    # After a probe rejection the executor pays the probe AND the next
+    # stage, so each probe is adaptively suppressed after a failure and
+    # re-probed every QUICK_RETRY iterations (late in a lockstep batch
+    # every lane must accept within the probe's alphas, which fails
+    # persistently). Decisions are unchanged — every fallback runs from
+    # the SAME state and the full grid takes the FIRST passing alpha —
+    # only the cost profile moves. The round-3 phase budget measured the
+    # 8-alpha rollout at 86% of a full iteration, so an accept at
+    # alpha in {0.25, 0.125} through the half-width mid grid saves ~43%
+    # of the dominant term.
     QUICK_RETRY = 4
 
     def inner(xss, uss, wss, lams, lamTs, rhos, act_al, its, gnorms):
@@ -182,22 +196,34 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         Js = traj_cost_j(xss, uss, lams, lamTs, rhos)
         regs = jnp.full(B, opts.reg_init, dtype)
         done = np.asarray(~act_al)
-        n_quick = 0
+        n_quick = n_mid = 0
         since_quick_fail = QUICK_RETRY       # start optimistic
+        since_mid_fail = QUICK_RETRY
         for it in range(opts.max_iter):
             active = jnp.asarray(~done)
+            out = None
             if two_stage_ls and since_quick_fail >= QUICK_RETRY:
                 out_q = iter_quick_j(xss, uss, Js, regs, lams, lamTs,
                                      rhos, active, wss)
                 if bool(np.asarray(out_q[7]).all()):
                     out = out_q          # every active lane accepted
                     n_quick += 1
-                else:                    # full grid from the SAME state
-                    out = iter_j(xss, uss, Js, regs, lams, lamTs, rhos,
-                                 active, wss)
+                else:
                     since_quick_fail = 0
             else:
                 since_quick_fail += 1
+            if out is None and iter_mid_j is not None \
+                    and since_mid_fail >= QUICK_RETRY:
+                out_m = iter_mid_j(xss, uss, Js, regs, lams, lamTs,
+                                   rhos, active, wss)
+                if bool(np.asarray(out_m[7]).all()):
+                    out = out_m
+                    n_mid += 1
+                else:
+                    since_mid_fail = 0
+            elif out is None:
+                since_mid_fail += 1
+            if out is None:              # full grid from the SAME state
                 out = iter_j(xss, uss, Js, regs, lams, lamTs, rhos,
                              active, wss)
             xss, uss, Js, regs, wss, newly_done, qu_inf, _ = out
@@ -205,9 +231,9 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
             its = its + active.astype(jnp.int32)
             done = done | np.asarray(newly_done)
             if log is not None:
-                log("  inner it=%d J=%.6g done=%d/%d quick=%d"
+                log("  inner it=%d J=%.6g done=%d/%d quick=%d mid=%d"
                     % (it, float(jnp.min(Js)), int(done.sum()), B,
-                       n_quick))
+                       n_quick, n_mid))
             if done.all():
                 break
         return xss, uss, wss, Js, its, gnorms
