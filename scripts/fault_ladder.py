@@ -70,6 +70,13 @@ DEFAULT_TIMEOUT_S = 2400
 
 def _setup():
     import jax
+    # full-f32 matmuls, exactly as bench._setup_jax: the deploy config's
+    # Riccati/KKT math needs f32 accumulation — default bf16 multiplicands
+    # lose lanes on the knife edge (docs/DESIGN.md §4). The ladder must
+    # run the SAME program the bench deploys, or its convergence gate
+    # measures a different solver (round-3: an unaligned r8 "converged
+    # <90%" false alarm traced to this + kappa_init_min below).
+    jax.config.update("jax_default_matmul_precision", "highest")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(HERE, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -78,9 +85,13 @@ def _setup():
 
 
 def _ip_opts():
+    # MUST mirror bench._build's on_tpu ip dict (same traced program,
+    # same compile-cache keys). bench omits kappa_init_min: eval/grad
+    # solves start their kappa continuation from the bilinear violation
+    # clipped at kappa_final, not at 1e-2.
     from optimization_dynamics_tpu.solver.interior_point import IPOptions
     return IPOptions(r_tol=3.0e-5, kappa_tol=1.0e-3, max_iter=40,
-                     max_ls=8, kappa_init_min=1.0e-2)
+                     max_ls=8)
 
 
 def _fused_solver():
@@ -301,6 +312,7 @@ def r8_segmented_fused():
     x0s = (jnp.tile(x0, (B, 1))
            + 0.01 * jax.random.normal(key, (B, 4), jnp.float32))
     run = make_segmented_solver(prob, opts, B, dtype=jnp.float32,
+                                al_stall_rounds=2,   # bench default policy
                                 log=lambda s: print(s, flush=True))
     res = run(x0s, us0)
     jax.block_until_ready(res.xs)
@@ -319,6 +331,7 @@ def r9_segmented_kscan():
            + 0.01 * jax.random.normal(key, (B, 4), jnp.float32))
     run = make_segmented_solver(prob, opts, B, dtype=jnp.float32,
                                 iters_per_dispatch=4,
+                                al_stall_rounds=2,   # bench default policy
                                 log=lambda s: print(s, flush=True))
     res = run(x0s, us0)
     jax.block_until_ready(res.xs)
