@@ -346,6 +346,98 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
     inner_step_mid = (_make_inner_step(line_search_mid)
                       if n_alpha > 4 else None)
 
+    # ------------------------------------------------------------------
+    # Incremental line-search cascade (round 3, the k=1 deploy path).
+    #
+    # The probe-style two-stage/mid cascade above re-pays the derivative
+    # sweep + backward pass on every fallback and rolls overlapping
+    # alpha prefixes (quick {1,.5} -> mid {1,.5,.25,.125} -> full grid),
+    # so at B=128 lockstep — where one rejecting lane fails a probe
+    # nearly every iteration — it degenerates to the full grid 86% of
+    # the time (BASELINE.md round-3 budget). The cascade below instead
+    # (a) computes gains ONCE per iteration (``ls_prep``), then
+    # (b) rolls DISJOINT alpha slices {1,.5} -> {.25,.125} -> {rest},
+    # merging each lane's FIRST accept across rungs (``ls_rung``), and
+    # (c) applies the standard accept/reject bookkeeping (``ls_apply``).
+    # Since the slices partition the grid in order and each lane keeps
+    # its first-accepting alpha, the merged pick is exactly the full
+    # grid's first-passing alpha — decision-identical — while the
+    # worst-case rollout work equals ONE full grid (vs probe+grid
+    # before) and an iteration whose deepest-rejecting lane accepts
+    # within the first 2 (or 4) alphas costs only that slice.
+    # ------------------------------------------------------------------
+    ls_slice_bounds = [b for b in (0, 2, 4, n_alpha)
+                       if b <= n_alpha]
+    ls_slice_bounds = sorted(set(ls_slice_bounds))
+    ls_slices = [_make_line_search(alpha_grid[lo:hi])
+                 for lo, hi in zip(ls_slice_bounds[:-1],
+                                   ls_slice_bounds[1:])]
+
+    def ls_prep(xss, uss, Js, regs, lams, lamTs, rhos, active, wss):
+        """Derivative sweep + backward pass + the FIRST alpha slice.
+
+        Returns the gains (reused by the later rungs), the backward-pass
+        convergence signals, the candidate accumulator after slice 0,
+        and ``covered`` (every active lane already accepted)."""
+        d = derivatives(xss, uss, lams, lamTs, rhos, wss)
+        Kss, kss, dV1, dV2, qu_inf, bp_ok = backward(*d, regs)
+        cand = ls_slices[0](xss, uss, Kss, kss, Js, dV1, dV2, lams,
+                            lamTs, rhos, wss)
+        covered = jnp.all(jnp.logical_or(cand[3],
+                                         jnp.logical_not(active)))
+        return Kss, kss, dV1, dV2, qu_inf, bp_ok, cand, covered
+
+    def _make_ls_rung(i):
+        ls = ls_slices[i]
+
+        def ls_rung(xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos,
+                    wss, cand, active):
+            """Roll slice ``i`` and merge first-accepts into ``cand``."""
+            xs_c, us_c, J_c, acc_c, ws_c = ls(
+                xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos, wss)
+            xs_b, us_b, J_b, acc_b, ws_b = cand
+            take = jnp.logical_and(acc_c, jnp.logical_not(acc_b))
+            xs_b = jnp.where(take[:, None, None], xs_c, xs_b)
+            us_b = jnp.where(take[:, None, None], us_c, us_b)
+            J_b = jnp.where(take, J_c, J_b)
+            ws_b = jnp.where(take[:, None, None], ws_c, ws_b)
+            acc_b = jnp.logical_or(acc_b, acc_c)
+            covered = jnp.all(jnp.logical_or(acc_b,
+                                             jnp.logical_not(active)))
+            return (xs_b, us_b, J_b, acc_b, ws_b), covered
+
+        return ls_rung
+
+    ls_rungs = [_make_ls_rung(i) for i in range(1, len(ls_slices))]
+
+    def ls_apply(xss, uss, Js, regs, wss, active, cand, qu_inf, bp_ok):
+        """Accept/reject bookkeeping — the tail of ``inner_step`` with
+        the merged cascade candidates standing in for the grid pick."""
+        xss_n, uss_n, Js_n, accepted, wss_n = cand
+        ls_failed = jnp.logical_not(jnp.logical_and(accepted, bp_ok))
+        regs_n = jnp.where(
+            ls_failed,
+            jnp.minimum(regs * opts.reg_up, opts.reg_max),
+            jnp.maximum(regs * opts.reg_down, opts.reg_min))
+        keep = jnp.logical_or(ls_failed, jnp.logical_not(active))
+        xss_n = jnp.where(keep[:, None, None], xss, xss_n)
+        uss_n = jnp.where(keep[:, None, None], uss, uss_n)
+        Js_n = jnp.where(keep, Js, Js_n)
+        regs_n = jnp.where(active, regs_n, regs)
+        wss_n = jnp.where(keep[:, None, None], wss, wss_n)
+
+        grad_small = qu_inf < opts.grad_tol
+        obj_small = jnp.abs(Js - Js_n) < opts.obj_tol
+        reg_capped = regs_n >= opts.reg_max
+        newly_done = jnp.logical_or(
+            grad_small,
+            jnp.logical_or(jnp.logical_and(accepted, obj_small),
+                           jnp.logical_and(ls_failed, reg_capped)))
+        ok_lanes = jnp.logical_or(jnp.logical_and(accepted, bp_ok),
+                                  jnp.logical_not(active))
+        return (xss_n, uss_n, Js_n, regs_n, wss_n, newly_done,
+                qu_inf, ok_lanes)
+
     def make_inner_scan(k: int, two_stage: bool = True):
         """``k`` inner iterations as ONE device program (a ``lax.scan``
         of the two-stage inner step), amortizing the per-iteration
@@ -465,6 +557,9 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         line_search=line_search, inner_step=inner_step,
         inner_step_quick=inner_step_quick,
         inner_step_mid=inner_step_mid,
+        ls_prep=ls_prep, ls_rungs=ls_rungs, ls_apply=ls_apply,
+        ls_slice_widths=[hi - lo for lo, hi in zip(ls_slice_bounds[:-1],
+                                                   ls_slice_bounds[1:])],
         make_inner_scan=make_inner_scan,
         con_violation=con_violation, dual_update=dual_update,
         smooth_cost=smooth_cost)

@@ -56,6 +56,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                           al_stall_rounds: int = 0,
                           al_stall_improve: float = 0.999,
                           mid_ls: bool = True,
+                          compact: bool = True,
+                          compact_min: int = 8,
                           timers=None):
     """Build ``solve(x0s, us_init) -> ILQRResult`` for batch width B.
 
@@ -63,15 +65,19 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     jitted phase programs are cached across calls (create the solver
     once, call it many times).
 
-    ``two_stage_ls``: per inner iteration, first run the cheap 2-alpha
-    line-search phase; only when some active lane rejects both
-    candidates re-run the iteration with the full Armijo grid (results
-    are identical to always-full — the full grid picks the FIRST
-    passing alpha — but most iterations accept alpha=1 and skip ~3/4 of
-    the line-search rollout cost). ``mid_ls`` adds a 4-alpha middle
-    rung to the cascade (same first-accept identity; saves ~43% of the
-    dominant full-grid term whenever a rejection lands at alpha 0.25 or
-    0.125); it is disabled together with ``two_stage_ls=False``.
+    ``two_stage_ls``: per inner iteration, run the incremental
+    line-search cascade — one derivative sweep + backward pass, then
+    DISJOINT alpha slices ({1,.5} -> {.25,.125} -> {rest}) rolled only
+    while some active lane has not yet accepted, per-lane first-accepts
+    merged across rungs. Decision-identical to always-full (the full
+    grid picks the FIRST passing alpha and the slices partition the
+    grid in order); worst-case rollout work equals one full grid, and
+    an iteration whose deepest-rejecting lane accepts within the first
+    2 (or 4) alphas rolls only 1/4 (or 1/2) of the grid.
+    ``two_stage_ls=False`` dispatches the single full-grid program per
+    iteration. ``mid_ls`` is accepted for compatibility with the
+    probe-era staging and ignored (disjoint slices have no overlap cost
+    to trim).
 
     ``iters_per_dispatch`` (k>1): dispatch k inner iterations as ONE
     device program (``make_phases(...).make_inner_scan``), syncing with
@@ -104,6 +110,22 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     ``al_stall_improve`` is the rate above which a lane counts as
     non-improving regardless of projection (guards rate ~ 1 noise).
 
+    ``compact`` (active-lane batch compaction, cascade path only): a
+    lockstep iteration costs rollout work proportional to the BATCH
+    width, but late iterations serve only the few lanes that have not
+    converged (the round-3 on-chip budget measured 1210 dispatched
+    inner iterations for a per-lane mean of 461 — a ~62% lockstep
+    idle share). When the active count fits a smaller power-of-4
+    bucket (``B, B/4, B/16, ... >= compact_min``), the host gathers
+    the active lanes (cyclically padded to the bucket width) into a
+    width-specialized set of cascade phase programs and scatters the
+    results back. Lanes never interact inside a phase (everything is
+    per-lane vmap-style math), so per-lane results are identical at
+    any width; padding duplicates an active lane, computes the
+    identical update, and is discarded by the duplicate-overwrite
+    scatter. Each bucket width compiles its own phase set (first call
+    per width pays it; the compilation cache makes it one-time).
+
     ``timers``: an optional ``utils.profiling.PhaseTimer``; every jitted
     phase program is wrapped with a barrier so ``timers.report()`` gives
     the per-phase latency budget (profiling only — the barriers
@@ -118,23 +140,92 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     traj_cost_j = jax.jit(ph.traj_cost)
 
     iter_j = jax.jit(ph.inner_step)
-    iter_quick_j = jax.jit(ph.inner_step_quick)
-    # the mid probe is part of the staged-line-search machinery:
-    # two_stage_ls=False means "full grid only", so it disables the mid
-    # rung too
-    iter_mid_j = (jax.jit(ph.inner_step_mid)
-                  if (mid_ls and two_stage_ls
-                      and ph.inner_step_mid is not None) else None)
     k = max(int(iters_per_dispatch), 1)
     scan_j = (jax.jit(ph.make_inner_scan(k, two_stage=two_stage_ls))
               if k > 1 else None)
+    # incremental line-search cascade (k=1, two_stage_ls=True): gains
+    # computed once, disjoint alpha slices rolled until every active
+    # lane has accepted, first-accepts merged — decision-identical to
+    # the full grid (ilqr_batched.py cascade comment), worst-case
+    # rollout work equal to ONE full grid. The slices are disjoint, so
+    # unlike the probe-era staging there is no overlap cost to trim:
+    # ``mid_ls`` is accepted for signature compatibility and ignored.
+    cascade = two_stage_ls and k == 1
+    prep_j = jax.jit(ph.ls_prep) if cascade else None
+    rung_js = [jax.jit(r) for r in ph.ls_rungs] if cascade else []
+    apply_j = jax.jit(ph.ls_apply) if cascade else None
+
+    # active-lane compaction buckets: power-of-4 widths below B, each
+    # with its own width-specialized cascade phase set (built lazily on
+    # first use; the jit/compilation caches make it one-time)
+    buckets = [B]
+    if compact and cascade:
+        w = B
+        while w // 4 >= max(int(compact_min), 1):
+            w //= 4
+            buckets.append(w)
+    _width_cache = {}
+
+    def _width_entry(W):
+        if W in _width_cache:
+            return _width_cache[W]
+        if W == B:
+            entry = (prep_j, rung_js, apply_j)
+        else:
+            phw = make_phases(prob, opts, W, dtype)
+            p = jax.jit(phw.ls_prep)
+            rs = [jax.jit(r) for r in phw.ls_rungs]
+            a = jax.jit(phw.ls_apply)
+            if timers is not None:
+                p = timers.wrap("ls_prep+slice0@%d" % W, p)
+                rs = [timers.wrap("ls_rung%d@%d" % (i + 1, W), r)
+                      for i, r in enumerate(rs)]
+                a = timers.wrap("ls_apply@%d" % W, a)
+            entry = (p, rs, a)
+        _width_cache[W] = entry
+        return entry
+
+    @jax.jit
+    def gather_j(idx, xss, uss, Js, regs, lams, lamTs, rhos, wss):
+        t = lambda a: jnp.take(a, idx, axis=0)
+        return (t(xss), t(uss), t(Js), t(regs), t(lams), t(lamTs),
+                t(rhos), t(wss))
+
+    @jax.jit
+    def scatter_j(idx, xss, uss, Js, regs, wss, gnorms,
+                  xb, ub, Jb, rb, wb, qu_b):
+        # duplicate indices (cyclic padding) carry identical values —
+        # whichever duplicate wins the scatter, the result is the same
+        return (xss.at[idx].set(xb), uss.at[idx].set(ub),
+                Js.at[idx].set(Jb), regs.at[idx].set(rb),
+                wss.at[idx].set(wb), gnorms.at[idx].set(qu_b))
+
+    def _run_cascade(entry, xssW, ussW, JsW, regsW, lamsW, lamTsW,
+                     rhosW, activeW, wssW):
+        p, rs, a = entry
+        (Kss, kss, dV1, dV2, qu_inf, bp_ok, cand,
+         covered) = p(xssW, ussW, JsW, regsW, lamsW, lamTsW, rhosW,
+                      activeW, wssW)
+        depth = 1
+        for rung in rs:
+            if bool(covered):
+                break
+            cand, covered = rung(xssW, ussW, Kss, kss, JsW, dV1, dV2,
+                                 lamsW, lamTsW, rhosW, wssW, cand,
+                                 activeW)
+            depth += 1
+        out = a(xssW, ussW, JsW, regsW, wssW, activeW, cand, qu_inf,
+                bp_ok)
+        return out, depth
     if timers is not None:
         rollout_j = timers.wrap("rollout_open", rollout_j)
         traj_cost_j = timers.wrap("traj_cost", traj_cost_j)
         iter_j = timers.wrap("inner_full", iter_j)
-        iter_quick_j = timers.wrap("inner_quick", iter_quick_j)
-        if iter_mid_j is not None:
-            iter_mid_j = timers.wrap("inner_mid", iter_mid_j)
+        if prep_j is not None:
+            prep_j = timers.wrap("ls_prep+slice0", prep_j)
+            rung_js = [timers.wrap("ls_rung%d" % (i + 1), r)
+                       for i, r in enumerate(rung_js)]
+            apply_j = timers.wrap("ls_apply", apply_j)
         if scan_j is not None:
             scan_j = timers.wrap("inner_scan_k%d" % k, scan_j)
 
@@ -176,18 +267,16 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 break
         return xss, uss, wss, Js, its, gnorms
 
-    # Cascaded line search: quick 2-alpha -> mid 4-alpha -> full grid.
-    # After a probe rejection the executor pays the probe AND the next
-    # stage, so each probe is adaptively suppressed after a failure and
-    # re-probed every QUICK_RETRY iterations (late in a lockstep batch
-    # every lane must accept within the probe's alphas, which fails
-    # persistently). Decisions are unchanged — every fallback runs from
-    # the SAME state and the full grid takes the FIRST passing alpha —
-    # only the cost profile moves. The round-3 phase budget measured the
-    # 8-alpha rollout at 86% of a full iteration, so an accept at
-    # alpha in {0.25, 0.125} through the half-width mid grid saves ~43%
-    # of the dominant term.
-    QUICK_RETRY = 4
+    # Incremental line-search cascade (ilqr_batched.py: ls_prep /
+    # ls_rungs / ls_apply). Per iteration: ONE derivative sweep +
+    # backward pass, then disjoint alpha slices {1,.5} -> {.25,.125} ->
+    # {rest}, each rung rolled only while some active lane has not yet
+    # accepted. Per-lane first-accepts merge across rungs, so the pick
+    # equals the full grid's first-passing alpha exactly; the worst-case
+    # rollout work equals one full grid (the probe-era cascade re-paid
+    # the sweep per probe and degenerated to the full grid 86% of the
+    # time at B=128 lockstep — BASELINE.md round-3 budget).
+    n_rungs = 1 + len(rung_js)
 
     def inner(xss, uss, wss, lams, lamTs, rhos, act_al, its, gnorms):
         if scan_j is not None:
@@ -196,47 +285,61 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         Js = traj_cost_j(xss, uss, lams, lamTs, rhos)
         regs = jnp.full(B, opts.reg_init, dtype)
         done = np.asarray(~act_al)
-        n_quick = n_mid = 0
-        since_quick_fail = QUICK_RETRY       # start optimistic
-        since_mid_fail = QUICK_RETRY
+        its_inc = np.zeros(B, np.int64)
+        depth_counts = [0] * n_rungs if cascade else None
         for it in range(opts.max_iter):
-            active = jnp.asarray(~done)
-            out = None
-            if two_stage_ls and since_quick_fail >= QUICK_RETRY:
-                out_q = iter_quick_j(xss, uss, Js, regs, lams, lamTs,
-                                     rhos, active, wss)
-                if bool(np.asarray(out_q[7]).all()):
-                    out = out_q          # every active lane accepted
-                    n_quick += 1
-                else:
-                    since_quick_fail = 0
-            else:
-                since_quick_fail += 1
-            if out is None and iter_mid_j is not None \
-                    and since_mid_fail >= QUICK_RETRY:
-                out_m = iter_mid_j(xss, uss, Js, regs, lams, lamTs,
-                                   rhos, active, wss)
-                if bool(np.asarray(out_m[7]).all()):
-                    out = out_m
-                    n_mid += 1
-                else:
-                    since_mid_fail = 0
-            elif out is None:
-                since_mid_fail += 1
-            if out is None:              # full grid from the SAME state
+            act_idx = np.flatnonzero(~done)
+            if act_idx.size == 0:
+                break
+            W = B
+            if cascade:
+                for w in sorted(buckets):
+                    if act_idx.size <= w:
+                        W = w
+                        break
+            if cascade and W < B:
+                # compacted iteration: gather active lanes (cyclically
+                # padded to the bucket width) into width-W phase programs
+                idx_np = np.resize(act_idx, W)
+                idx = jnp.asarray(idx_np)
+                (xb, ub, Jb, rb, lamb, lamTb, rhob, wb) = gather_j(
+                    idx, xss, uss, Js, regs, lams, lamTs, rhos, wss)
+                out, depth = _run_cascade(
+                    _width_entry(W), xb, ub, Jb, rb, lamb, lamTb, rhob,
+                    jnp.ones((W,), bool), wb)
+                xb, ub, Jb, rb, wb, nd_b, qu_b, _ = out
+                xss, uss, Js, regs, wss, gnorms = scatter_j(
+                    idx, xss, uss, Js, regs, wss, gnorms,
+                    xb, ub, Jb, rb, wb, qu_b)
+                nd = np.zeros(B, bool)
+                nd[idx_np] = np.asarray(nd_b)
+                depth_counts[depth - 1] += 1
+            elif cascade:
+                active = jnp.asarray(~done)
+                out, depth = _run_cascade(
+                    (prep_j, rung_js, apply_j), xss, uss, Js, regs,
+                    lams, lamTs, rhos, active, wss)
+                xss, uss, Js, regs, wss, newly_done, qu_inf, _ = out
+                gnorms = jnp.where(active, qu_inf, gnorms)
+                nd = np.asarray(newly_done)
+                depth_counts[depth - 1] += 1
+            else:                        # full grid, single program
+                active = jnp.asarray(~done)
                 out = iter_j(xss, uss, Js, regs, lams, lamTs, rhos,
                              active, wss)
-            xss, uss, Js, regs, wss, newly_done, qu_inf, _ = out
-            gnorms = jnp.where(active, qu_inf, gnorms)
-            its = its + active.astype(jnp.int32)
-            done = done | np.asarray(newly_done)
+                xss, uss, Js, regs, wss, newly_done, qu_inf, _ = out
+                gnorms = jnp.where(active, qu_inf, gnorms)
+                nd = np.asarray(newly_done)
+            its_inc[~done] += 1
+            done = done | nd
             if log is not None:
-                log("  inner it=%d J=%.6g done=%d/%d quick=%d mid=%d"
-                    % (it, float(jnp.min(Js)), int(done.sum()), B,
-                       n_quick, n_mid))
+                log("  inner it=%d J=%.6g done=%d/%d W=%d depth=%s"
+                    % (it, float(jnp.min(Js)), int(done.sum()), B, W,
+                       depth_counts))
             if done.all():
                 break
-        return xss, uss, wss, Js, its, gnorms
+        return (xss, uss, wss, Js, its + jnp.asarray(its_inc, jnp.int32),
+                gnorms)
 
     def solve(x0s: jnp.ndarray, us_init: jnp.ndarray) -> ILQRResult:
         assert x0s.shape[0] == B, (x0s.shape, B)

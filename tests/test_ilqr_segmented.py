@@ -74,10 +74,10 @@ def test_segmented_contact_matches_fused():
 
 
 def test_two_stage_linesearch_identical():
-    """two_stage_ls=True must be bit-compatible with the full-grid
-    executor: the full grid picks the FIRST Armijo-passing alpha, so an
-    all-lanes quick accept is the same pick, and any rejection falls
-    back to the full grid from the same state."""
+    """two_stage_ls=True (the incremental alpha-slice cascade) must be
+    bit-compatible with the full-grid executor: the slices partition
+    the grid in order and each lane keeps its FIRST accepting alpha, so
+    the merged pick equals the full grid's first-passing alpha."""
     dyn = make_implicit_dynamics(acrobot.impact_model())
     aux = acrobot.AcrobotAux(h=0.05)
     T = 8
@@ -112,9 +112,12 @@ def test_two_stage_linesearch_identical():
     np.testing.assert_array_equal(np.asarray(r2.us), np.asarray(r1.us))
     np.testing.assert_array_equal(np.asarray(r2.iterations),
                                   np.asarray(r1.iterations))
-    # the quick path must actually fire at least once on this problem
-    assert any("quick=" in s and not s.endswith("quick=0")
-               for s in quick if "inner" in s)
+    # the cheap shallow rungs must actually fire on this problem (an
+    # always-full-depth cascade would mean the staging is dead weight)
+    import re
+    depths = [re.search(r"depth=\[(\d+)", s) for s in quick
+              if "inner" in s]
+    assert any(m and int(m.group(1)) > 0 for m in depths), quick
 
 
 def test_iters_per_dispatch_identical():
@@ -198,6 +201,55 @@ def test_iters_per_dispatch_honors_two_stage_off():
                                   np.asarray(rt.iterations))
 
 
+def test_compaction_identical():
+    """Active-lane batch compaction must not change any decision: lanes
+    never interact inside a phase, so gathering the unconverged lanes
+    into a smaller width-specialized bucket (with cyclic padding) and
+    scattering back yields identical per-lane results. Forces tiny
+    buckets (compact_min=2 at B=8) so the compacted path actually runs
+    on a batch whose lanes converge at staggered iterations."""
+    dyn = make_implicit_dynamics(acrobot.impact_model())
+    aux = acrobot.AcrobotAux(h=0.05)
+    T = 8
+    goal = jnp.array([0.2, 1.2, 0.2, 1.2])
+    from optimization_dynamics_tpu.solver.ilqr import ILQRProblem
+    prob = ILQRProblem(
+        T=T, nx=4, nu=1, ncon=0, nconT=4,
+        dynamics=lambda t, x, u: dyn.step(x, u, aux),
+        dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us, aux),
+        dynamics_batched=lambda t, xs, us: dyn.step_batched(xs, us, aux),
+        stage_cost=lambda t, x, u: 0.5 * jnp.sum(u * u)
+        + 0.5 * jnp.sum((x - goal) ** 2),
+        terminal_cost=lambda x: 5.0 * jnp.sum((x - goal) ** 2),
+        terminal_con=lambda x: x - goal,
+    )
+    opts = ILQROptions(max_iter=12, max_al_iter=2, con_tol=1e-2)
+    B = 8
+    x0s = jnp.tile(jnp.array([0.1, 1.0, 0.1, 1.0]), (B, 1)) \
+        + 0.1 * jax.random.normal(jax.random.PRNGKey(7), (B, 4))
+    us0 = jnp.zeros((T - 1, 1))
+
+    logs = []
+    run_c = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                  compact_min=2,
+                                  log=lambda s: logs.append(s))
+    run_f = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                  compact=False)
+    rc = run_c(x0s, us0)
+    rf = run_f(x0s, us0)
+    np.testing.assert_array_equal(np.asarray(rc.us), np.asarray(rf.us))
+    np.testing.assert_array_equal(np.asarray(rc.iterations),
+                                  np.asarray(rf.iterations))
+    np.testing.assert_array_equal(np.asarray(rc.converged),
+                                  np.asarray(rf.converged))
+    np.testing.assert_allclose(np.asarray(rc.gradient_norm),
+                               np.asarray(rf.gradient_norm), rtol=0)
+    # the compacted bucket path must actually have fired
+    assert any("W=2" in s for s in logs), logs
+
+
 def test_phase_timers():
     """PhaseTimer threads through the executor and attributes time to
     every dispatched phase (VERDICT r2: profiling must be wired, not
@@ -216,7 +268,8 @@ def test_phase_timers():
     res = run(x0s, us0)
     assert bool(jnp.all(res.converged))
     rep = timers.report(total_s=sum(timers.times.values()) + 0.5)
-    for phase in ("rollout_open", "traj_cost", "inner_quick", "finish"):
+    for phase in ("rollout_open", "traj_cost", "ls_prep+slice0",
+                  "ls_apply", "finish"):
         assert phase in rep["phases_s"], rep
         assert rep["phase_calls"][phase] >= 1
     assert abs(rep["host_and_dispatch_s"] - 0.5) < 1e-6
