@@ -120,11 +120,15 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     the active lanes (cyclically padded to the bucket width) into a
     width-specialized set of cascade phase programs and scatters the
     results back. Lanes never interact inside a phase (everything is
-    per-lane vmap-style math), so per-lane results are identical at
-    any width; padding duplicates an active lane, computes the
+    per-lane vmap-style math), so the per-lane algorithm is identical
+    at any width; padding duplicates an active lane, computes the
     identical update, and is discarded by the duplicate-overwrite
-    scatter. Each bucket width compiles its own phase set (first call
-    per width pays it; the compilation cache makes it one-time).
+    scatter. XLA codegen differs by batch shape, so bucket iterations
+    can round differently at ~1e-15 (same caveat class as
+    ``iters_per_dispatch``; see docs/DESIGN.md §3 for the measured
+    knife-edge effect). Each bucket width compiles its own phase set
+    (first call per width pays it; the compilation cache makes it
+    one-time).
 
     ``timers``: an optional ``utils.profiling.PhaseTimer``; every jitted
     phase program is wrapped with a barrier so ``timers.report()`` gives

@@ -52,6 +52,12 @@ def main():
     p.add_argument("--rho-max", type=float, default=1.0e6)
     p.add_argument("--solver", default="segmented",
                    choices=["segmented", "batched"])
+    p.add_argument("--no-compact", action="store_true",
+                   help="disable active-lane batch compaction")
+    p.add_argument("--compact-min", type=int, default=8,
+                   help="smallest compaction bucket width")
+    p.add_argument("--stall-rounds", type=int, default=0,
+                   help="al_stall_rounds straggler policy (bench: 2)")
     args = p.parse_args()
 
     import jax
@@ -109,6 +115,9 @@ def main():
         from optimization_dynamics_tpu.solver.ilqr_segmented import (
             make_segmented_solver)
         run = make_segmented_solver(prob, opts, B, dtype=dtype,
+                                    compact=not args.no_compact,
+                                    compact_min=args.compact_min,
+                                    al_stall_rounds=args.stall_rounds,
                                     log=lambda s: print(s, flush=True))
         res = run(x0s, us0.astype(dtype))
     else:
