@@ -204,19 +204,67 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 Js.at[idx].set(Jb), regs.at[idx].set(rb),
                 wss.at[idx].set(wb), gnorms.at[idx].set(qu_b))
 
-    def _run_cascade(entry, xssW, ussW, JsW, regsW, lamsW, lamTsW,
+    @jax.jit
+    def gather_rung_j(idx, xss, uss, Kss, kss, Js, dV1, dV2, lams,
+                      lamTs, rhos, wss, cx, cu, cJ, cacc, cw):
+        t = lambda a: jnp.take(a, idx, axis=0)
+        return (t(xss), t(uss), t(Kss), t(kss), t(Js), t(dV1), t(dV2),
+                t(lams), t(lamTs), t(rhos), t(wss),
+                (t(cx), t(cu), t(cJ), t(cacc), t(cw)))
+
+    @jax.jit
+    def scatter_rung_j(idx, cx, cu, cJ, cacc, cw, rx, ru, rJ, racc, rw):
+        return (cx.at[idx].set(rx), cu.at[idx].set(ru),
+                cJ.at[idx].set(rJ), cacc.at[idx].set(racc),
+                cw.at[idx].set(rw))
+
+    def _run_cascade(W, xssW, ussW, JsW, regsW, lamsW, lamTsW,
                      rhosW, activeW, wssW):
-        p, rs, a = entry
+        """One cascade iteration at phase width ``W``.
+
+        Rung-level compaction: the deep-alpha rungs are needed only by
+        the lanes that rejected every shallower slice — usually a small
+        subset — so each rung gathers its todo lanes into the smallest
+        bucket width that fits and runs the width-specialized rung
+        program there (the round-3 on-chip budget showed ~85% of
+        iterations reach full depth while only a few lanes force it:
+        without this, rung 3 rolls 4 alphas x all W lanes for them)."""
+        p, rs, a = _width_entry(W)
         (Kss, kss, dV1, dV2, qu_inf, bp_ok, cand,
          covered) = p(xssW, ussW, JsW, regsW, lamsW, lamTsW, rhosW,
                       activeW, wssW)
         depth = 1
-        for rung in rs:
+        act_np = None
+        for ri in range(len(rs)):
             if bool(covered):
                 break
-            cand, covered = rung(xssW, ussW, Kss, kss, JsW, dV1, dV2,
-                                 lamsW, lamTsW, rhosW, wssW, cand,
-                                 activeW)
+            if act_np is None:
+                act_np = np.asarray(activeW)
+            acc_np = np.array(cand[3])   # writable copy
+            todo = np.flatnonzero(act_np & ~acc_np)
+            Wr = W
+            for w in sorted(buckets):
+                if w < W and todo.size <= w:
+                    Wr = w
+                    break
+            if Wr < W:
+                idx_np = np.resize(todo, Wr)
+                idx = jnp.asarray(idx_np)
+                (xr, ur, Kr, kr, Jr, d1r, d2r, lamr, lamTr, rhor, wr,
+                 cand_r) = gather_rung_j(
+                    idx, xssW, ussW, Kss, kss, JsW, dV1, dV2, lamsW,
+                    lamTsW, rhosW, wssW, *cand)
+                rung_w = _width_entry(Wr)[1][ri]
+                cand_r, _ = rung_w(xr, ur, Kr, kr, Jr, d1r, d2r, lamr,
+                                   lamTr, rhor, wr, cand_r,
+                                   jnp.ones((Wr,), bool))
+                cand = scatter_rung_j(idx, *cand, *cand_r)
+                acc_np[idx_np] = np.asarray(cand_r[3])
+                covered = bool((acc_np | ~act_np).all())
+            else:
+                cand, covered = rs[ri](xssW, ussW, Kss, kss, JsW, dV1,
+                                       dV2, lamsW, lamTsW, rhosW, wssW,
+                                       cand, activeW)
             depth += 1
         out = a(xssW, ussW, JsW, regsW, wssW, activeW, cand, qu_inf,
                 bp_ok)
@@ -309,7 +357,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 (xb, ub, Jb, rb, lamb, lamTb, rhob, wb) = gather_j(
                     idx, xss, uss, Js, regs, lams, lamTs, rhos, wss)
                 out, depth = _run_cascade(
-                    _width_entry(W), xb, ub, Jb, rb, lamb, lamTb, rhob,
+                    W, xb, ub, Jb, rb, lamb, lamTb, rhob,
                     jnp.ones((W,), bool), wb)
                 xb, ub, Jb, rb, wb, nd_b, qu_b, _ = out
                 xss, uss, Js, regs, wss, gnorms = scatter_j(
@@ -321,7 +369,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
             elif cascade:
                 active = jnp.asarray(~done)
                 out, depth = _run_cascade(
-                    (prep_j, rung_js, apply_j), xss, uss, Js, regs,
+                    B, xss, uss, Js, regs,
                     lams, lamTs, rhos, active, wss)
                 xss, uss, Js, regs, wss, newly_done, qu_inf, _ = out
                 gnorms = jnp.where(active, qu_inf, gnorms)
