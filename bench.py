@@ -191,7 +191,9 @@ def _run_segmented(fused: bool, B: int):
     name = "segmented+fused-ip" if fused else "segmented+xla"
     if k > 1:
         name += " k=%d" % k
-    return _result(name, B, int(jnp.sum(res.converged)), dt)
+    out = _result(name, B, int(jnp.sum(res.converged)), dt)
+    out["mean_inner_iters"] = round(float(jnp.mean(res.iterations)), 1)
+    return out
 
 
 def variant_segmented_fused():
