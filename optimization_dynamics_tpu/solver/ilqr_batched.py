@@ -410,6 +410,66 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
 
     ls_rungs = [_make_ls_rung(i) for i in range(1, len(ls_slices))]
 
+    # ------------------------------------------------------------------
+    # Per-lane adaptive step-size line search (round 4).
+    #
+    # The cascade above still rolls lockstep alpha SLICES: one deep-
+    # rejecting lane forces every active lane through the full grid
+    # (round-3 budget: ~85% of iterations reached full depth, line-search
+    # rollouts 86% of iteration wall). The adaptive path instead rolls
+    # ONE alpha per lane per rung — each lane starts at the alpha it
+    # accepted last iteration (host-remembered index, growing one grid
+    # notch toward 1.0 after every accept) and backtracks down the grid
+    # only on reject, wrapping to the untried larger alphas afterwards so
+    # the candidate SET equals the full grid's. A well-behaved lane pays
+    # 1 rollout/iteration instead of 8; the candidate order is per-lane
+    # (not the reference's always-from-1.0 first-accept), which changes
+    # step-size picks but not the Armijo acceptance criterion — the
+    # deploy A/B gates convergence + objective parity (bench.py).
+    # ``ls_rung_at`` is ONE program reused for every rung (the alpha
+    # indices are an input), so the adaptive cascade needs fewer
+    # compiled phase programs than the slice cascade.
+    # ------------------------------------------------------------------
+    def _line_search_at(xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs,
+                        rhos, wss, ais):
+        """One rollout at per-lane alphas ``alpha_grid[ais]``."""
+        alphas = alpha_grid[ais]
+        xss_c, uss_c, Js_c, wss_c = closed_loop(
+            xss, uss, Kss, kss, alphas, lams, lamTs, rhos, wss)
+        expected = alphas * dV1 + alphas ** 2 * dV2
+        ok = jnp.logical_and(
+            jnp.isfinite(Js_c),
+            Js_c <= Js + opts.armijo_c1 * jnp.minimum(expected, 0.0))
+        return xss_c, uss_c, Js_c, ok, wss_c
+
+    def ls_rung_at(xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos,
+                   wss, cand, active, ais):
+        """Roll per-lane alphas ``ais`` and merge first-accepts."""
+        xs_c, us_c, J_c, acc_c, ws_c = _line_search_at(
+            xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos, wss,
+            ais)
+        xs_b, us_b, J_b, acc_b, ws_b = cand
+        take = jnp.logical_and(acc_c, jnp.logical_not(acc_b))
+        xs_b = jnp.where(take[:, None, None], xs_c, xs_b)
+        us_b = jnp.where(take[:, None, None], us_c, us_b)
+        J_b = jnp.where(take, J_c, J_b)
+        ws_b = jnp.where(take[:, None, None], ws_c, ws_b)
+        acc_b = jnp.logical_or(acc_b, acc_c)
+        covered = jnp.all(jnp.logical_or(acc_b, jnp.logical_not(active)))
+        return (xs_b, us_b, J_b, acc_b, ws_b), covered
+
+    def ls_prep_at(xss, uss, Js, regs, lams, lamTs, rhos, active, wss,
+                   ais):
+        """Derivative sweep + backward pass + the first ADAPTIVE rung
+        (each lane at its remembered alpha index ``ais``)."""
+        d = derivatives(xss, uss, lams, lamTs, rhos, wss)
+        Kss, kss, dV1, dV2, qu_inf, bp_ok = backward(*d, regs)
+        cand0 = (xss, uss, Js, jnp.zeros(xss.shape[0], bool), wss)
+        cand, covered = ls_rung_at(
+            xss, uss, Kss, kss, Js, dV1, dV2, lams, lamTs, rhos, wss,
+            cand0, active, ais)
+        return Kss, kss, dV1, dV2, qu_inf, bp_ok, cand, covered
+
     def ls_apply(xss, uss, Js, regs, wss, active, cand, qu_inf, bp_ok):
         """Accept/reject bookkeeping — the tail of ``inner_step`` with
         the merged cascade candidates standing in for the grid pick."""
@@ -558,8 +618,8 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         inner_step_quick=inner_step_quick,
         inner_step_mid=inner_step_mid,
         ls_prep=ls_prep, ls_rungs=ls_rungs, ls_apply=ls_apply,
-        ls_slice_widths=[hi - lo for lo, hi in zip(ls_slice_bounds[:-1],
-                                                   ls_slice_bounds[1:])],
+        ls_prep_at=ls_prep_at, ls_rung_at=ls_rung_at,
+        n_alpha=n_alpha,
         make_inner_scan=make_inner_scan,
         con_violation=con_violation, dual_update=dual_update,
         smooth_cost=smooth_cost)

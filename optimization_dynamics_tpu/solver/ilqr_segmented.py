@@ -55,7 +55,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                           iters_per_dispatch: int = 1,
                           al_stall_rounds: int = 0,
                           al_stall_improve: float = 0.999,
-                          mid_ls: bool = True,
+                          per_lane_alpha: bool = False,
+                          alpha_memory: bool = False,
                           compact: bool = True,
                           compact_min: int = 8,
                           timers=None):
@@ -75,9 +76,31 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     an iteration whose deepest-rejecting lane accepts within the first
     2 (or 4) alphas rolls only 1/4 (or 1/2) of the grid.
     ``two_stage_ls=False`` dispatches the single full-grid program per
-    iteration. ``mid_ls`` is accepted for compatibility with the
-    probe-era staging and ignored (disjoint slices have no overlap cost
-    to trim).
+    iteration.
+
+    ``per_lane_alpha`` (round 4, requires the cascade — ``two_stage_ls``
+    and ``iters_per_dispatch == 1``): SINGLE-alpha line-search rungs
+    instead of lockstep alpha slices. Rung r rolls ONE alpha per lane
+    (grid index r), so the per-lane candidate order equals the grid
+    order and the merged pick is exactly the full grid's first-passing
+    alpha — decision-identical to the slice cascade and the full-grid
+    executor — while an iteration whose deepest-rejecting lane accepts
+    alpha=1 rolls 1/n_alpha of the grid (the round-3 budget measured
+    line-search rollouts at 86% of iteration wall with ~85% of
+    iterations reaching full cascade depth; deeper rungs serve only
+    the still-rejecting lanes and bucket-compact like the slice
+    cascade). One rung PROGRAM per width serves every rung (the alpha
+    indices are an input), so this path compiles fewer phase programs
+    than the slice cascade.
+
+    ``alpha_memory`` (opt-in refinement of ``per_lane_alpha``): each
+    lane starts rung 0 at the alpha index it accepted last iteration
+    (stepping one notch back toward alpha=1 per accept) and backtracks
+    from there, wrapping to the untried larger alphas last. Saves rungs
+    for lanes living at deep alphas but is NOT decision-identical: a
+    lane accepting a remembered small step can trip the ``obj_tol``
+    done-criterion early and under-converge (measured: 1/4 acrobot
+    lanes at con_tol 1e-2) — use only with a convergence-gated A/B.
 
     ``iters_per_dispatch`` (k>1): dispatch k inner iterations as ONE
     device program (``make_phases(...).make_inner_scan``), syncing with
@@ -155,9 +178,17 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     # unlike the probe-era staging there is no overlap cost to trim:
     # ``mid_ls`` is accepted for signature compatibility and ignored.
     cascade = two_stage_ls and k == 1
-    prep_j = jax.jit(ph.ls_prep) if cascade else None
-    rung_js = [jax.jit(r) for r in ph.ls_rungs] if cascade else []
+    adaptive = per_lane_alpha and cascade
+    if per_lane_alpha and not cascade:
+        raise ValueError("per_lane_alpha needs two_stage_ls=True and "
+                         "iters_per_dispatch=1 (the cascade path)")
+    prep_j = jax.jit(ph.ls_prep) if cascade and not adaptive else None
+    rung_js = ([jax.jit(r) for r in ph.ls_rungs]
+               if cascade and not adaptive else [])
+    prep_at_j = jax.jit(ph.ls_prep_at) if adaptive else None
+    rung_at_j = jax.jit(ph.ls_rung_at) if adaptive else None
     apply_j = jax.jit(ph.ls_apply) if cascade else None
+    n_alpha = ph.n_alpha
 
     # active-lane compaction buckets: power-of-4 widths below B, each
     # with its own width-specialized cascade phase set (built lazily on
@@ -174,7 +205,18 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         if W in _width_cache:
             return _width_cache[W]
         if W == B:
-            entry = (prep_j, rung_js, apply_j)
+            entry = ((prep_at_j, rung_at_j, apply_j) if adaptive
+                     else (prep_j, rung_js, apply_j))
+        elif adaptive:
+            phw = make_phases(prob, opts, W, dtype)
+            p = jax.jit(phw.ls_prep_at)
+            r = jax.jit(phw.ls_rung_at)
+            a = jax.jit(phw.ls_apply)
+            if timers is not None:
+                p = timers.wrap("ls_prep_at@%d" % W, p)
+                r = timers.wrap("ls_rung_at@%d" % W, r)
+                a = timers.wrap("ls_apply@%d" % W, a)
+            entry = (p, r, a)
         else:
             phw = make_phases(prob, opts, W, dtype)
             p = jax.jit(phw.ls_prep)
@@ -269,6 +311,74 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         out = a(xssW, ussW, JsW, regsW, wssW, activeW, cand, qu_inf,
                 bp_ok)
         return out, depth
+
+    def _rung_alpha_idx(ai_np, r):
+        """Per-lane candidate order: backtrack from the remembered index
+        (``ai, ai+1, ...``) down to alpha_min, then the untried larger
+        alphas (``ai-1, ..., 0``) — the candidate set equals the grid."""
+        return np.where(ai_np + r < n_alpha, ai_np + r,
+                        n_alpha - 1 - r).astype(np.int32)
+
+    def _run_cascade_adaptive(W, xssW, ussW, JsW, regsW, lamsW, lamTsW,
+                              rhosW, activeW, wssW, ai_np):
+        """One adaptive-step-size iteration at phase width ``W``.
+
+        Rolls ONE alpha per lane per rung (lane's remembered index
+        first, then per-lane backtracking), with the same rung-level
+        bucket compaction as the slice cascade. Returns the usual
+        ``ls_apply`` output, the rung depth, and each lane's accepted
+        alpha index (-1 where every candidate rejected)."""
+        p, r_at, a = _width_entry(W)
+        act_np = np.asarray(activeW)
+        ais_0 = np.clip(ai_np, 0, n_alpha - 1).astype(np.int32)
+        (Kss, kss, dV1, dV2, qu_inf, bp_ok, cand,
+         covered) = p(xssW, ussW, JsW, regsW, lamsW, lamTsW, rhosW,
+                      activeW, wssW, jnp.asarray(ais_0))
+        acc_np = np.array(cand[3])
+        ai_acc = np.where(acc_np & act_np, ais_0, -1)
+        depth = 1
+        for r in range(1, n_alpha):
+            if bool(covered):
+                break
+            todo = np.flatnonzero(act_np & ~acc_np)
+            if todo.size == 0:
+                break
+            ais_r = _rung_alpha_idx(ais_0, r)
+            Wr = W
+            for w in sorted(buckets):
+                if w < W and todo.size <= w:
+                    Wr = w
+                    break
+            if Wr < W:
+                idx_np = np.resize(todo, Wr)
+                idx = jnp.asarray(idx_np)
+                (xr, ur, Kr, kr, Jr, d1r, d2r, lamr, lamTr, rhor, wr,
+                 cand_r) = gather_rung_j(
+                    idx, xssW, ussW, Kss, kss, JsW, dV1, dV2, lamsW,
+                    lamTsW, rhosW, wssW, *cand)
+                rung_w = _width_entry(Wr)[1]
+                cand_r, _ = rung_w(xr, ur, Kr, kr, Jr, d1r, d2r, lamr,
+                                   lamTr, rhor, wr, cand_r,
+                                   jnp.ones((Wr,), bool),
+                                   jnp.asarray(ais_r[idx_np]))
+                cand = scatter_rung_j(idx, *cand, *cand_r)
+                acc_r = np.asarray(cand_r[3])
+                newly = acc_r & (ai_acc[idx_np] < 0)
+                ai_acc[idx_np[newly]] = ais_r[idx_np[newly]]
+                acc_np[idx_np] = acc_r
+                covered = bool((acc_np | ~act_np).all())
+            else:
+                cand, covered = r_at(xssW, ussW, Kss, kss, JsW, dV1,
+                                     dV2, lamsW, lamTsW, rhosW, wssW,
+                                     cand, activeW, jnp.asarray(ais_r))
+                acc_new = np.array(cand[3])
+                newly = acc_new & ~acc_np
+                ai_acc[newly] = ais_r[newly]
+                acc_np = acc_new
+            depth += 1
+        out = a(xssW, ussW, JsW, regsW, wssW, activeW, cand, qu_inf,
+                bp_ok)
+        return out, depth, ai_acc
     if timers is not None:
         rollout_j = timers.wrap("rollout_open", rollout_j)
         traj_cost_j = timers.wrap("traj_cost", traj_cost_j)
@@ -277,6 +387,10 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
             prep_j = timers.wrap("ls_prep+slice0", prep_j)
             rung_js = [timers.wrap("ls_rung%d" % (i + 1), r)
                        for i, r in enumerate(rung_js)]
+        if prep_at_j is not None:
+            prep_at_j = timers.wrap("ls_prep_at", prep_at_j)
+            rung_at_j = timers.wrap("ls_rung_at", rung_at_j)
+        if apply_j is not None:
             apply_j = timers.wrap("ls_apply", apply_j)
         if scan_j is not None:
             scan_j = timers.wrap("inner_scan_k%d" % k, scan_j)
@@ -328,9 +442,13 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     # rollout work equals one full grid (the probe-era cascade re-paid
     # the sweep per probe and degenerated to the full grid 86% of the
     # time at B=128 lockstep — BASELINE.md round-3 budget).
-    n_rungs = 1 + len(rung_js)
+    n_rungs = n_alpha if adaptive else 1 + len(rung_js)
 
-    def inner(xss, uss, wss, lams, lamTs, rhos, act_al, its, gnorms):
+    def inner(xss, uss, wss, lams, lamTs, rhos, act_al, its, gnorms,
+              ai_state=None):
+        """``ai_state``: adaptive path only — per-lane remembered
+        alpha-grid start index (np.int32 (B,)), persisted by the caller
+        across inner calls / AL rounds; mutated in place."""
         if scan_j is not None:
             return inner_chunked(xss, uss, wss, lams, lamTs, rhos,
                                  act_al, its, gnorms)
@@ -356,9 +474,18 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 idx = jnp.asarray(idx_np)
                 (xb, ub, Jb, rb, lamb, lamTb, rhob, wb) = gather_j(
                     idx, xss, uss, Js, regs, lams, lamTs, rhos, wss)
-                out, depth = _run_cascade(
-                    W, xb, ub, Jb, rb, lamb, lamTb, rhob,
-                    jnp.ones((W,), bool), wb)
+                if adaptive:
+                    out, depth, ai_acc_b = _run_cascade_adaptive(
+                        W, xb, ub, Jb, rb, lamb, lamTb, rhob,
+                        jnp.ones((W,), bool), wb, ai_state[idx_np])
+                    if alpha_memory:
+                        ai_state[idx_np] = np.where(
+                            ai_acc_b >= 0, np.maximum(ai_acc_b - 1, 0),
+                            0)
+                else:
+                    out, depth = _run_cascade(
+                        W, xb, ub, Jb, rb, lamb, lamTb, rhob,
+                        jnp.ones((W,), bool), wb)
                 xb, ub, Jb, rb, wb, nd_b, qu_b, _ = out
                 xss, uss, Js, regs, wss, gnorms = scatter_j(
                     idx, xss, uss, Js, regs, wss, gnorms,
@@ -368,9 +495,19 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 depth_counts[depth - 1] += 1
             elif cascade:
                 active = jnp.asarray(~done)
-                out, depth = _run_cascade(
-                    B, xss, uss, Js, regs,
-                    lams, lamTs, rhos, active, wss)
+                if adaptive:
+                    out, depth, ai_acc = _run_cascade_adaptive(
+                        B, xss, uss, Js, regs,
+                        lams, lamTs, rhos, active, wss, ai_state)
+                    if alpha_memory:
+                        act_np = ~done
+                        ai_state[act_np] = np.where(
+                            ai_acc[act_np] >= 0,
+                            np.maximum(ai_acc[act_np] - 1, 0), 0)
+                else:
+                    out, depth = _run_cascade(
+                        B, xss, uss, Js, regs,
+                        lams, lamTs, rhos, active, wss)
                 xss, uss, Js, regs, wss, newly_done, qu_inf, _ = out
                 gnorms = jnp.where(active, qu_inf, gnorms)
                 nd = np.asarray(newly_done)
@@ -411,6 +548,9 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         stall = np.zeros(B, np.int64)
         failed = np.zeros(B, bool)
         al_it = 0
+        # adaptive line search: every lane starts at alpha = 1.0; the
+        # remembered indices persist across AL rounds within this solve
+        ai_state = np.zeros(B, np.int32) if adaptive else None
 
         if ph.has_con or ph.has_conT:
             for al_it in range(1, opts.max_al_iter + 1):
@@ -420,7 +560,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 act = jnp.asarray(act_np)
                 xss, uss, wss, Js, its, gnorms = inner(
                     xss, uss, wss, lams, lamTs, rhos, act_np, its,
-                    gnorms)
+                    gnorms, ai_state)
                 vio_n, lams, lamTs, rhos = al_round_j(
                     xss, uss, lams, lamTs, rhos, act)
                 vio_new = np.where(act_np, np.asarray(vio_n), vio)
@@ -453,7 +593,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         else:
             xss, uss, wss, Js, its, gnorms = inner(
                 xss, uss, wss, lams, lamTs, rhos, np.ones(B, bool), its,
-                gnorms)
+                gnorms, ai_state)
             al_it = 1
             vio = np.zeros(B)
 

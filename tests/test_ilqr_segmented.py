@@ -246,15 +246,136 @@ def test_compaction_identical():
                                   compact=False)
     rc = run_c(x0s, us0)
     rf = run_f(x0s, us0)
-    np.testing.assert_array_equal(np.asarray(rc.us), np.asarray(rf.us))
-    np.testing.assert_array_equal(np.asarray(rc.iterations),
-                                  np.asarray(rf.iterations))
+    exact = (jax.config.jax_enable_x64
+             and jax.default_backend() == "cpu")
+    if exact:
+        np.testing.assert_array_equal(np.asarray(rc.us),
+                                      np.asarray(rf.us))
+        np.testing.assert_array_equal(np.asarray(rc.iterations),
+                                      np.asarray(rf.iterations))
+        np.testing.assert_allclose(np.asarray(rc.gradient_norm),
+                                   np.asarray(rf.gradient_norm), rtol=0)
+    else:
+        # width-specialized XLA codegen rounds differently (~1e-15);
+        # off the CPU-f64 tier pin behavioral equivalence, not bits
+        np.testing.assert_allclose(np.asarray(rc.us),
+                                   np.asarray(rf.us), atol=1e-9)
     np.testing.assert_array_equal(np.asarray(rc.converged),
                                   np.asarray(rf.converged))
-    np.testing.assert_allclose(np.asarray(rc.gradient_norm),
-                               np.asarray(rf.gradient_norm), rtol=0)
     # the compacted bucket path must actually have fired
     assert any("W=2" in s for s in logs), logs
+
+
+def _acrobot_con_problem(T=8):
+    dyn = make_implicit_dynamics(acrobot.impact_model())
+    aux = acrobot.AcrobotAux(h=0.05)
+    goal = jnp.array([0.2, 1.2, 0.2, 1.2])
+    from optimization_dynamics_tpu.solver.ilqr import ILQRProblem
+    return ILQRProblem(
+        T=T, nx=4, nu=1, ncon=0, nconT=4,
+        dynamics=lambda t, x, u: dyn.step(x, u, aux),
+        dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us, aux),
+        dynamics_batched=lambda t, xs, us: dyn.step_batched(xs, us, aux),
+        stage_cost=lambda t, x, u: 0.5 * jnp.sum(u * u)
+        + 0.5 * jnp.sum((x - goal) ** 2),
+        terminal_cost=lambda x: 5.0 * jnp.sum((x - goal) ** 2),
+        terminal_con=lambda x: x - goal,
+    ), goal
+
+
+def test_per_lane_alpha_identical():
+    """per_lane_alpha=True (single-alpha backtracking rungs) is
+    decision-IDENTICAL to the slice cascade: rung r rolls grid index r,
+    so each lane's candidate order equals the grid order and the merged
+    first-accept equals the full grid's pick. Equal trajectories,
+    iteration counts, and convergence flags on CPU f64; and the
+    1-rollout fast path (depth-1 iterations) must actually fire."""
+    prob, _ = _acrobot_con_problem()
+    opts = ILQROptions(max_iter=20, max_al_iter=6, con_tol=1e-2)
+    B = 4
+    x0s = jnp.tile(jnp.array([0.1, 1.0, 0.1, 1.0]), (B, 1)) \
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(2), (B, 4))
+    us0 = jnp.zeros((prob.T - 1, 1))
+
+    logs = []
+    run_a = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                  per_lane_alpha=True,
+                                  log=lambda s: logs.append(s))
+    run_c = make_segmented_solver(prob, opts, B, dtype=x0s.dtype)
+    ra = run_a(x0s, us0)
+    rc = run_c(x0s, us0)
+    np.testing.assert_array_equal(np.asarray(ra.converged),
+                                  np.asarray(rc.converged))
+    np.testing.assert_array_equal(np.asarray(ra.iterations),
+                                  np.asarray(rc.iterations))
+    np.testing.assert_allclose(np.asarray(ra.us), np.asarray(rc.us),
+                               atol=1e-12)
+    assert bool(jnp.all(ra.constraint_violation < opts.con_tol))
+    # the 1-rollout fast path must dominate on a benign problem
+    import re
+    depths = [re.search(r"depth=\[(\d+)", s) for s in logs
+              if "inner" in s]
+    assert any(m and int(m.group(1)) > 0 for m in depths), logs
+
+
+def test_alpha_memory_smoke():
+    """alpha_memory=True is an opt-in, NOT decision-identical variant
+    (docstring records the measured under-convergence hazard); it must
+    still run end-to-end, stay finite, and converge the easy majority."""
+    prob, _ = _acrobot_con_problem()
+    opts = ILQROptions(max_iter=20, max_al_iter=6, con_tol=1e-2)
+    B = 4
+    x0s = jnp.tile(jnp.array([0.1, 1.0, 0.1, 1.0]), (B, 1)) \
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(2), (B, 4))
+    us0 = jnp.zeros((prob.T - 1, 1))
+    run = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                per_lane_alpha=True, alpha_memory=True)
+    res = run(x0s, us0)
+    assert bool(jnp.all(jnp.isfinite(res.xs)))
+    assert int(jnp.sum(res.converged)) >= B // 2
+
+
+def test_per_lane_alpha_compaction():
+    """Single-alpha rungs compose with active-lane compaction (tiny
+    buckets, compact_min=2 at B=8, staggered convergence forcing
+    gathers) and stay decision-identical to the slice cascade under
+    the same compaction on CPU f64."""
+    prob, _ = _acrobot_con_problem()
+    opts = ILQROptions(max_iter=20, max_al_iter=6, con_tol=1e-2)
+    B = 8
+    x0s = jnp.tile(jnp.array([0.1, 1.0, 0.1, 1.0]), (B, 1)) \
+        + 0.1 * jax.random.normal(jax.random.PRNGKey(7), (B, 4))
+    us0 = jnp.zeros((prob.T - 1, 1))
+
+    logs = []
+    run_a = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                  per_lane_alpha=True, compact_min=2,
+                                  log=lambda s: logs.append(s))
+    run_c = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                  compact_min=2)
+    ra = run_a(x0s, us0)
+    rc = run_c(x0s, us0)
+    np.testing.assert_array_equal(np.asarray(ra.converged),
+                                  np.asarray(rc.converged))
+    np.testing.assert_array_equal(np.asarray(ra.iterations),
+                                  np.asarray(rc.iterations))
+    np.testing.assert_allclose(np.asarray(ra.us), np.asarray(rc.us),
+                               atol=1e-12)
+    assert any("W=2" in s or "W=4" in s for s in logs), logs
+    # solver object is reusable (fresh per-solve line-search state)
+    res2 = run_a(x0s + 0.01, us0)
+    assert bool(jnp.all(jnp.isfinite(res2.xs)))
+
+
+def test_per_lane_alpha_rejects_bad_combo():
+    prob = _lqr_problem()
+    opts = ILQROptions()
+    import pytest
+    with pytest.raises(ValueError):
+        make_segmented_solver(prob, opts, 4, per_lane_alpha=True,
+                              iters_per_dispatch=2)
 
 
 def test_phase_timers():
