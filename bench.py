@@ -83,56 +83,12 @@ def _setup_jax():
 
 
 def _build(on_tpu: bool, dtype, fused: bool = True):
-    import jax
-    import jax.numpy as jnp
-
-    from optimization_dynamics_tpu.dynamics import make_implicit_dynamics
+    """Deploy-tier problem — lives in the package now (VERDICT r3 #7:
+    the benched configuration must be reachable from the user-facing
+    API): ``examples.cartpole.build_deploy_problem``."""
     from optimization_dynamics_tpu.examples import cartpole as ex
-    from optimization_dynamics_tpu.models import cartpole
-    from optimization_dynamics_tpu.solver.interior_point import IPOptions
 
-    prob, x0, us0, opts = ex.build_problem("friction", dtype=dtype)
-    model = cartpole.friction_model()
-    aux = cartpole.CartpoleAux(
-        h=ex.H, friction=jnp.asarray([0.35, 0.35], dtype))
-    if on_tpu:
-        ip = dict(r_tol=3.0e-5, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
-    else:
-        ip = dict(r_tol=1.0e-8, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
-        fused = False
-    dyn = make_implicit_dynamics(
-        model,
-        eval_opts=IPOptions(**ip),
-        grad_opts=IPOptions(**ip),
-        fused=fused)  # lane-batched solves via the fused Pallas kernel
-    prob = prob._replace(
-        dynamics=lambda t, x, u: dyn.step(x, u, aux),
-        dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
-        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
-            xs, us, aux),
-        dynamics_batched=lambda t, xs, us: dyn.step_batched(xs, us, aux),
-        dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
-        carry_init=dyn.carry_init,
-        # thread solver variables through the phases, but keep
-        # line-search rollouts COLD (ws_linesearch=False): only the
-        # derivative sweep re-solving the accepted trajectory
-        # warm-starts (~1 Newton iteration; branch-safe)
-        dynamics_batched_ws=lambda t, xs, us, ws: dyn.step_batched_ws(
-            xs, us, aux, ws),
-        dynamics_jac_batched_ws=lambda ts, xs, us, wss:
-            dyn.step_jac_batched_ws(xs, us, aux, wss),
-        ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs),
-        ws_linesearch=False)
-    if on_tpu:
-        # f32: cap the AL penalty (rho past ~1e6 destroys f32 AL costs);
-        # 8-candidate Armijo grid (alpha_min 1e-2) — plenty at con_tol
-        # 0.01 and halves the line-search batch
-        opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6,
-                                   alpha_min=1.0e-2)
-    else:
-        opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6,
-                                   alpha_min=1.0e-2)
-    return prob, x0, us0, opts
+    return ex.build_deploy_problem(on_tpu, dtype=dtype, fused=fused)
 
 
 def _x0s(jax, jnp, x0, B, dtype):
@@ -174,6 +130,16 @@ def _run_segmented(fused: bool, B: int):
     # unchanged). The round-3 phase budget measured 2/128 hopeless lanes
     # holding all 20 AL rounds open at ~0.45 s per lockstep iteration.
     stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
+    # per-lane single-alpha backtracking rungs (round 4, default on):
+    # decision-identical to the full Armijo grid, rolls ~1 alpha/lane
+    # per iteration instead of 8 (the round-3 budget measured the
+    # line-search rollout at 86% of iteration wall)
+    pla = (os.environ.get("ODX_BENCH_PLA", "1") == "1") and k == 1
+    # optional per-AL-round inner budgets, e.g. "25,50" (first rounds
+    # capped, later rounds full) — A/B knob for the AL schedule
+    sched_env = os.environ.get("ODX_BENCH_ALSCHED", "")
+    sched = ([int(s) for s in sched_env.split(",") if s]
+             if sched_env else None)
     # ODX_BENCH_LOG=1: per-AL-round host log (costs a scalar device sync
     # per inner iteration — diagnosis only, skews the timing slightly)
     log = ((lambda s: print("# " + s, flush=True))
@@ -181,6 +147,8 @@ def _run_segmented(fused: bool, B: int):
     x0s = _x0s(jax, jnp, x0, B, dtype)
     run = make_segmented_solver(prob, opts, B, dtype=dtype,
                                 iters_per_dispatch=k,
+                                per_lane_alpha=pla,
+                                max_iter_schedule=sched,
                                 al_stall_rounds=stall, log=log)
     res = run(x0s, us0.astype(dtype))
     jax.block_until_ready(res.xs)
@@ -191,8 +159,19 @@ def _run_segmented(fused: bool, B: int):
     name = "segmented+fused-ip" if fused else "segmented+xla"
     if k > 1:
         name += " k=%d" % k
-    out = _result(name, B, int(jnp.sum(res.converged)), dt)
+    if pla:
+        name += " pla"
+    n_conv = int(jnp.sum(res.converged))
+    out = _result(name, B, n_conv, dt)
     out["mean_inner_iters"] = round(float(jnp.mean(res.iterations)), 1)
+    # measured dispatch accounting (VERDICT r3 #8): IP solves per
+    # converged solve, derived from the executor's host-side counters
+    T = prob.T
+    ip_solves = (run.stats.get("sweep_lanes", 0)
+                 + run.stats.get("roll_lanes", 0)) * (T - 1)
+    if n_conv:
+        out["ip_solves_per_converged"] = int(ip_solves / n_conv)
+    out["dispatched_inner_iters"] = run.stats.get("inner_iters", 0)
     return out
 
 

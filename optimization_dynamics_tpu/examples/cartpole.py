@@ -82,6 +82,66 @@ def build_problem(mode: str = "friction", friction=(0.35, 0.35),
     return prob, x0, us_init, opts
 
 
+def build_deploy_problem(on_tpu: bool, dtype=None, fused: bool = True,
+                         friction=(0.35, 0.35)):
+    """The DEPLOY-tier problem: the configuration bench.py measures,
+    reachable from the user-facing API (VERDICT r3 #7).
+
+    Policy (bisected in rounds 1-3, BASELINE.md / docs/DESIGN.md):
+    line-search rollouts run COLD (warm-starting them flips
+    complementarity branches on the knife-edge friction-0.35 swing-up),
+    the derivative sweep warm-starts from the accepted trajectory's own
+    eval solution (~1 Newton iteration, branch-safe); on TPU the IP
+    tolerances sit at the f32 floor (r_tol 3e-5), the fused Pallas
+    whole-solve kernel runs the lane-batched IP solves, the AL penalty
+    is capped at 1e6 (f32 AL-cost headroom) and con_tol relaxes to
+    0.01. Returns ``(prob, x0, us_init, opts)``; solve with
+    ``solver.ilqr_segmented.make_segmented_solver`` (the deploy
+    executor) or ``solver.ilqr_batched.solve_batched``."""
+    import dataclasses
+
+    from optimization_dynamics_tpu.solver.interior_point import IPOptions
+
+    if dtype is None:
+        dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x0, us0, opts = build_problem("friction", dtype=dtype)
+    model = cartpole.friction_model()
+    aux = cartpole.CartpoleAux(h=H, friction=jnp.asarray(friction, dtype))
+    if on_tpu:
+        ip = dict(r_tol=3.0e-5, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
+    else:
+        ip = dict(r_tol=1.0e-8, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
+        fused = False
+    dyn = make_implicit_dynamics(
+        model,
+        eval_opts=IPOptions(**ip),
+        grad_opts=IPOptions(**ip),
+        fused=fused)  # lane-batched solves via the fused Pallas kernel
+    prob = prob._replace(
+        dynamics=lambda t, x, u: dyn.step(x, u, aux),
+        dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us, aux),
+        dynamics_batched=lambda t, xs, us: dyn.step_batched(xs, us, aux),
+        dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
+        carry_init=dyn.carry_init,
+        # thread solver variables through the phases, but keep
+        # line-search rollouts COLD (ws_linesearch=False): only the
+        # derivative sweep re-solving the accepted trajectory
+        # warm-starts (~1 Newton iteration; branch-safe)
+        dynamics_batched_ws=lambda t, xs, us, ws: dyn.step_batched_ws(
+            xs, us, aux, ws),
+        dynamics_jac_batched_ws=lambda ts, xs, us, wss:
+            dyn.step_jac_batched_ws(xs, us, aux, wss),
+        ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs),
+        ws_linesearch=False)
+    # f32: cap the AL penalty (rho past ~1e6 destroys f32 AL costs);
+    # 8-candidate Armijo grid (alpha_min 1e-2) — plenty at con_tol 0.01
+    opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6,
+                               alpha_min=1.0e-2)
+    return prob, x0, us0, opts
+
+
 def run(mode: str = "friction", friction=(0.35, 0.35)):
     prob, x0, us_init, opts = build_problem(mode, friction)
     res = jax.jit(lambda x, u: solve(prob, x, u, opts))(x0, us_init)

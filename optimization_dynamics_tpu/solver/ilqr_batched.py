@@ -620,6 +620,10 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         ls_prep=ls_prep, ls_rungs=ls_rungs, ls_apply=ls_apply,
         ls_prep_at=ls_prep_at, ls_rung_at=ls_rung_at,
         n_alpha=n_alpha,
+        # alphas rolled by slice0 and each cascade rung (the segmented
+        # executor's dispatch accounting uses these)
+        ls_slice_widths=[hi - lo for lo, hi in zip(ls_slice_bounds[:-1],
+                                                   ls_slice_bounds[1:])],
         make_inner_scan=make_inner_scan,
         con_violation=con_violation, dual_update=dual_update,
         smooth_cost=smooth_cost)

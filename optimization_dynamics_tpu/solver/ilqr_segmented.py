@@ -59,6 +59,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                           alpha_memory: bool = False,
                           compact: bool = True,
                           compact_min: int = 8,
+                          max_iter_schedule=None,
                           timers=None):
     """Build ``solve(x0s, us_init) -> ILQRResult`` for batch width B.
 
@@ -153,10 +154,24 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     (first call per width pays it; the compilation cache makes it
     one-time).
 
+    ``max_iter_schedule``: optional per-AL-round inner-iteration budgets
+    (sequence of ints; AL round i uses entry min(i, len-1)). Early AL
+    rounds polish a not-yet-final penalty surface — the reference runs
+    ``max_iter`` everywhere (IterativeLQR semantics), so this is an
+    opt-in deploy knob, A/B-gated like the straggler policy. ``None``
+    keeps ``opts.max_iter`` for every round. Cascade/full-grid paths
+    only (``iters_per_dispatch == 1``).
+
     ``timers``: an optional ``utils.profiling.PhaseTimer``; every jitted
     phase program is wrapped with a barrier so ``timers.report()`` gives
     the per-phase latency budget (profiling only — the barriers
     serialize dispatch).
+
+    The returned callable exposes ``solve.stats`` — host-side dispatch
+    accounting reset per call: inner iterations dispatched, derivative
+    sweeps and line-search rollouts in lane-timesteps (x (T-1) IP solves
+    each) — the bookkeeping behind BASELINE.md's IP-solves-per-solve
+    accounting (VERDICT r3 #8: derive, don't hardcode).
     """
     assert prob.dynamics_batched is not None, "needs dynamics_batched"
     ph = make_phases(prob, opts, B, dtype)
@@ -260,6 +275,15 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 cJ.at[idx].set(rJ), cacc.at[idx].set(racc),
                 cw.at[idx].set(rw))
 
+    # host-side dispatch accounting (reset per solve call; exposed as
+    # ``solve.stats``): lane-rollouts here x (T-1) = IP solves
+    stats = {}
+
+    def _stat(key, v=1):
+        stats[key] = stats.get(key, 0) + v
+
+    slice_w = ph.ls_slice_widths        # alphas per cascade slice/rung
+
     def _run_cascade(W, xssW, ussW, JsW, regsW, lamsW, lamTsW,
                      rhosW, activeW, wssW):
         """One cascade iteration at phase width ``W``.
@@ -275,6 +299,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         (Kss, kss, dV1, dV2, qu_inf, bp_ok, cand,
          covered) = p(xssW, ussW, JsW, regsW, lamsW, lamTsW, rhosW,
                       activeW, wssW)
+        _stat("sweep_lanes", W)
+        _stat("roll_lanes", W * slice_w[0])
         depth = 1
         act_np = None
         for ri in range(len(rs)):
@@ -300,6 +326,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 cand_r, _ = rung_w(xr, ur, Kr, kr, Jr, d1r, d2r, lamr,
                                    lamTr, rhor, wr, cand_r,
                                    jnp.ones((Wr,), bool))
+                _stat("roll_lanes", Wr * slice_w[ri + 1])
                 cand = scatter_rung_j(idx, *cand, *cand_r)
                 acc_np[idx_np] = np.asarray(cand_r[3])
                 covered = bool((acc_np | ~act_np).all())
@@ -307,6 +334,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 cand, covered = rs[ri](xssW, ussW, Kss, kss, JsW, dV1,
                                        dV2, lamsW, lamTsW, rhosW, wssW,
                                        cand, activeW)
+                _stat("roll_lanes", W * slice_w[ri + 1])
             depth += 1
         out = a(xssW, ussW, JsW, regsW, wssW, activeW, cand, qu_inf,
                 bp_ok)
@@ -334,6 +362,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         (Kss, kss, dV1, dV2, qu_inf, bp_ok, cand,
          covered) = p(xssW, ussW, JsW, regsW, lamsW, lamTsW, rhosW,
                       activeW, wssW, jnp.asarray(ais_0))
+        _stat("sweep_lanes", W)
+        _stat("roll_lanes", W)
         acc_np = np.array(cand[3])
         ai_acc = np.where(acc_np & act_np, ais_0, -1)
         depth = 1
@@ -361,6 +391,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                                    lamTr, rhor, wr, cand_r,
                                    jnp.ones((Wr,), bool),
                                    jnp.asarray(ais_r[idx_np]))
+                _stat("roll_lanes", Wr)
                 cand = scatter_rung_j(idx, *cand, *cand_r)
                 acc_r = np.asarray(cand_r[3])
                 newly = acc_r & (ai_acc[idx_np] < 0)
@@ -371,6 +402,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 cand, covered = r_at(xssW, ussW, Kss, kss, JsW, dV1,
                                      dV2, lamsW, lamTsW, rhosW, wssW,
                                      cand, activeW, jnp.asarray(ais_r))
+                _stat("roll_lanes", W)
                 acc_new = np.array(cand[3])
                 newly = acc_new & ~acc_np
                 ai_acc[newly] = ais_r[newly]
@@ -445,10 +477,12 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     n_rungs = n_alpha if adaptive else 1 + len(rung_js)
 
     def inner(xss, uss, wss, lams, lamTs, rhos, act_al, its, gnorms,
-              ai_state=None):
+              ai_state=None, max_iter_round=None):
         """``ai_state``: adaptive path only — per-lane remembered
         alpha-grid start index (np.int32 (B,)), persisted by the caller
-        across inner calls / AL rounds; mutated in place."""
+        across inner calls / AL rounds; mutated in place.
+        ``max_iter_round``: this AL round's inner budget
+        (``max_iter_schedule``); None = ``opts.max_iter``."""
         if scan_j is not None:
             return inner_chunked(xss, uss, wss, lams, lamTs, rhos,
                                  act_al, its, gnorms)
@@ -457,7 +491,9 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         done = np.asarray(~act_al)
         its_inc = np.zeros(B, np.int64)
         depth_counts = [0] * n_rungs if cascade else None
-        for it in range(opts.max_iter):
+        budget = (opts.max_iter if max_iter_round is None
+                  else min(int(max_iter_round), opts.max_iter))
+        for it in range(budget):
             act_idx = np.flatnonzero(~done)
             if act_idx.size == 0:
                 break
@@ -516,9 +552,12 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 active = jnp.asarray(~done)
                 out = iter_j(xss, uss, Js, regs, lams, lamTs, rhos,
                              active, wss)
+                _stat("sweep_lanes", B)
+                _stat("roll_lanes", B * n_alpha)
                 xss, uss, Js, regs, wss, newly_done, qu_inf, _ = out
                 gnorms = jnp.where(active, qu_inf, gnorms)
                 nd = np.asarray(newly_done)
+            _stat("inner_iters")
             its_inc[~done] += 1
             done = done | nd
             if log is not None:
@@ -530,18 +569,31 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         return (xss, uss, wss, Js, its + jnp.asarray(its_inc, jnp.int32),
                 gnorms)
 
-    def solve(x0s: jnp.ndarray, us_init: jnp.ndarray) -> ILQRResult:
+    def solve(x0s: jnp.ndarray, us_init: jnp.ndarray,
+              lam_init=None, lamT_init=None,
+              rho_init=None) -> ILQRResult:
+        """``lam_init (B, T-1, ncon)`` / ``lamT_init (B, nconT)`` /
+        ``rho_init (B,)`` warm-start the per-lane AL state from a
+        previous solve's ``ILQRResult.lam/lamT/rho`` (problem-level
+        warm starts across a sweep; same contract as
+        ``solve_batched``)."""
         assert x0s.shape[0] == B, (x0s.shape, B)
         if us_init.ndim == 2:
             us_init = jnp.broadcast_to(us_init[None], (B, T - 1, nu))
         x0s = x0s.astype(dtype)
         us_init = us_init.astype(dtype)
 
+        stats.clear()
         xss, wss = rollout_j(x0s, us_init)
+        _stat("roll_lanes", B)
         uss = us_init
-        lams = jnp.zeros((B, T - 1, max(ncon, 1)), dtype)
-        lamTs = jnp.zeros((B, max(nconT, 1)), dtype)
-        rhos = jnp.full(B, opts.rho_init, dtype)
+        lams = (jnp.zeros((B, T - 1, max(ncon, 1)), dtype)
+                if lam_init is None else jnp.asarray(lam_init, dtype))
+        lamTs = (jnp.zeros((B, max(nconT, 1)), dtype)
+                 if lamT_init is None else jnp.asarray(lamT_init, dtype))
+        rhos = (jnp.full(B, opts.rho_init, dtype) if rho_init is None
+                else jnp.broadcast_to(jnp.asarray(rho_init, dtype),
+                                      (B,)))
         its = jnp.zeros(B, jnp.int32)
         gnorms = jnp.full(B, jnp.inf, dtype)
         vio = np.full(B, np.inf)
@@ -558,9 +610,13 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                 if not act_np.any():
                     break
                 act = jnp.asarray(act_np)
+                mir = None
+                if max_iter_schedule is not None:
+                    mir = max_iter_schedule[
+                        min(al_it - 1, len(max_iter_schedule) - 1)]
                 xss, uss, wss, Js, its, gnorms = inner(
                     xss, uss, wss, lams, lamTs, rhos, act_np, its,
-                    gnorms, ai_state)
+                    gnorms, ai_state, mir)
                 vio_n, lams, lamTs, rhos = al_round_j(
                     xss, uss, lams, lamTs, rhos, act)
                 vio_new = np.where(act_np, np.asarray(vio_n), vio)
@@ -610,6 +666,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
             converged=vio_dev < opts.con_tol,
             lam=lams, lamT=lamTs, rho=rhos)
 
+    solve.stats = stats
     return solve
 
 

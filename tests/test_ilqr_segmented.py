@@ -369,6 +369,36 @@ def test_per_lane_alpha_compaction():
     assert bool(jnp.all(jnp.isfinite(res2.xs)))
 
 
+def test_warm_start_from_neighbor_solution():
+    """Problem-level warm starts (sweep pattern): seeding a solve from
+    a solved NEIGHBOR's controls + AL duals must converge with fewer
+    inner iterations than the cold solve of the same scenario, to a
+    consistent optimum (objective parity)."""
+    prob, _ = _acrobot_con_problem()
+    opts = ILQROptions(max_iter=20, max_al_iter=6, con_tol=1e-2)
+    B = 4
+    x0s = jnp.tile(jnp.array([0.1, 1.0, 0.1, 1.0]), (B, 1)) \
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(2), (B, 4))
+    us0 = jnp.zeros((prob.T - 1, 1))
+    run = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                per_lane_alpha=True)
+    base = run(x0s, us0)
+
+    x0s_n = x0s + 0.01          # the neighboring scenario shard
+    cold = run(x0s_n, us0)
+    warm = run(x0s_n, base.us, lam_init=base.lam, lamT_init=base.lamT)
+    assert bool(jnp.all(warm.constraint_violation <= opts.con_tol)), (
+        np.asarray(warm.constraint_violation))
+    assert int(jnp.sum(warm.iterations)) < int(jnp.sum(cold.iterations)),\
+        (np.asarray(warm.iterations), np.asarray(cold.iterations))
+    # both stop as soon as vio < con_tol (loose 1e-2 here), so the
+    # objectives agree at basin level, not to solver tolerance
+    conv = np.asarray(cold.converged)
+    np.testing.assert_allclose(np.asarray(warm.objective)[conv],
+                               np.asarray(cold.objective)[conv],
+                               rtol=2.5e-1)
+
+
 def test_per_lane_alpha_rejects_bad_combo():
     prob = _lqr_problem()
     opts = ILQROptions()
