@@ -224,6 +224,66 @@ def variant_single():
     return _result("unbatched latency", 1, n_conv, dt)
 
 
+def variant_push(B: int = 64):
+    """Second contact system on the chip (VERDICT r3 #4): planar push
+    TRANSLATE at the reference config (T=26, h=0.1) — nz=35, the
+    hardest cone geometry (orthant + 4x SOC(3) + SOC(2)) — through the
+    deploy tier (segmented + fused + per-lane line search). Scenarios
+    rigidly translate the whole scene (block + pusher) so the contact
+    geometry stays feasible while the reach-the-goal problem varies.
+    Worker-only variant: run `python bench.py push`; recorded in
+    BASELINE.md / docs/fault_ladder.json, not the headline line."""
+    jax, on_tpu = _setup_jax()
+    import jax.numpy as jnp
+    from optimization_dynamics_tpu.examples import planar_push as expp
+    from optimization_dynamics_tpu.solver.ilqr_segmented import (
+        make_segmented_solver)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x0, us0, opts = expp.build_deploy_problem(on_tpu, "translate",
+                                                    dtype=dtype)
+    if not on_tpu:
+        B = 4
+    key = jax.random.PRNGKey(0)
+    delta = 0.02 * jax.random.normal(key, (B, 2), dtype)
+    shift = jnp.zeros((B, 10), dtype)
+    for i in (0, 1):                      # block xy, both configs
+        shift = shift.at[:, i].add(delta[:, i])
+        shift = shift.at[:, i + 3].add(delta[:, i])   # pusher xy
+        shift = shift.at[:, i + 5].add(delta[:, i])
+        shift = shift.at[:, i + 8].add(delta[:, i])
+    x0s = jnp.tile(x0.astype(dtype), (B, 1)) + shift
+    pla = os.environ.get("ODX_BENCH_PLA", "1") == "1"
+    stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
+    log = ((lambda s: print("# " + s, flush=True))
+           if os.environ.get("ODX_BENCH_LOG", "0") == "1" else None)
+    run = make_segmented_solver(prob, opts, B, dtype=dtype,
+                                per_lane_alpha=pla,
+                                al_stall_rounds=stall, log=log)
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    t0 = time.perf_counter()
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    dt = time.perf_counter() - t0
+    n_conv = int(jnp.sum(res.converged))
+    v = n_conv / dt
+    out = {
+        "metric": ("planar-push nz=35 CONVERGED full iLQR solves/s "
+                   "(1 chip, segmented+fused%s, batch %d, %d/%d "
+                   "converged)" % (" pla" if pla else "", B, n_conv, B)),
+        "value": round(v, 3), "unit": "converged solves/s",
+        "vs_baseline": round(v / TARGET_PER_CHIP, 4),
+        "converged_frac": round(n_conv / B, 4),
+        "batch": B, "wall_s": round(dt, 1),
+        "mean_inner_iters": round(float(jnp.mean(res.iterations)), 1),
+    }
+    ip_solves = (run.stats.get("sweep_lanes", 0)
+                 + run.stats.get("roll_lanes", 0)) * (prob.T - 1)
+    if n_conv:
+        out["ip_solves_per_converged"] = int(ip_solves / n_conv)
+    return out
+
+
 def variant_steps(B: int = 128):
     jax, on_tpu = _setup_jax()
     import jax.numpy as jnp
@@ -269,7 +329,8 @@ def main():
         fn = {"segmented_fused": variant_segmented_fused,
               "segmented": variant_segmented,
               "batched": variant_batched,
-              "single": variant_single, "steps": variant_steps}[name]
+              "single": variant_single, "steps": variant_steps,
+              "push": variant_push}[name]
         print(json.dumps(fn()), flush=True)
         return
 

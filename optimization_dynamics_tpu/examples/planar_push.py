@@ -126,6 +126,54 @@ def build_problem(mode: str = "rotate", gradient_bundle: bool = False,
     return prob, x0, u0, opts
 
 
+def build_deploy_problem(on_tpu: bool, mode: str = "translate",
+                         dtype=None, fused: bool = True):
+    """Deploy-tier planar push (VERDICT r3 #4: put a second contact
+    system on the chip): the reference configuration
+    (/root/reference/examples/planar_push.jl:18-19, h=0.1, T=26) with
+    the hardest cone geometry in the suite — nz=35, orthant + 4x
+    SOC(3) + SOC(2) (src/models/planar_push/simulator.jl:16-50) —
+    wired for the segmented executor: f32 IP tolerances at the chip
+    floor, fused Pallas lane-batched solves, warm derivative sweeps +
+    cold line-search rollouts (the cartpole deploy policy,
+    BASELINE.md). Returns ``(prob, x0, us_init, opts)``."""
+    import dataclasses
+
+    from optimization_dynamics_tpu.solver.interior_point import IPOptions
+
+    if dtype is None:
+        dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x0, us0, opts = build_problem(mode, dtype=dtype)
+    aux = pp.PlanarPushAux(h=H)
+    if on_tpu:
+        ip = dict(r_tol=3.0e-5, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
+    else:
+        ip = dict(r_tol=1.0e-8, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
+        fused = False
+    dyn = make_implicit_dynamics(
+        pp.model(),
+        eval_opts=IPOptions(**ip),
+        grad_opts=IPOptions(**ip),
+        fused=fused)
+    prob = prob._replace(
+        dynamics=lambda t, x, u: dyn.step(x, u, aux),
+        dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us, aux),
+        dynamics_batched=lambda t, xs, us: dyn.step_batched(xs, us, aux),
+        dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
+        carry_init=dyn.carry_init,
+        dynamics_batched_ws=lambda t, xs, us, ws: dyn.step_batched_ws(
+            xs, us, aux, ws),
+        dynamics_jac_batched_ws=lambda ts, xs, us, wss:
+            dyn.step_jac_batched_ws(xs, us, aux, wss),
+        ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs),
+        ws_linesearch=False)
+    opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6,
+                               alpha_min=1.0e-2)
+    return prob, x0, us0, opts
+
+
 def run(mode: str = "rotate", gradient_bundle: bool = False):
     prob, x0, us_init, opts = build_problem(mode, gradient_bundle)
     res = jax.jit(lambda x, u: solve(prob, x, u, opts))(x0, us_init)
