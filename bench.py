@@ -130,11 +130,16 @@ def _run_segmented(fused: bool, B: int):
     # unchanged). The round-3 phase budget measured 2/128 hopeless lanes
     # holding all 20 AL rounds open at ~0.45 s per lockstep iteration.
     stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
-    # per-lane single-alpha backtracking rungs (round 4, default on):
-    # decision-identical to the full Armijo grid, rolls ~1 alpha/lane
-    # per iteration instead of 8 (the round-3 budget measured the
-    # line-search rollout at 86% of iteration wall)
-    pla = (os.environ.get("ODX_BENCH_PLA", "1") == "1") and k == 1
+    # per-lane adaptive line search (round 4). "device" (default): the
+    # one-dispatch adaptive inner step with an in-device fallback loop
+    # and alpha memory — the host-driven rung variant ("host"/"1")
+    # measured SLOWER than the slice cascade (814 ms vs 446 ms per
+    # iteration: each sequential rung pays a dispatch+sync round trip).
+    # "0" restores the round-3 slice cascade.
+    pla_env = os.environ.get("ODX_BENCH_PLA", "device")
+    pla = ({"device": "device", "1": True, "host": True}.get(pla_env,
+                                                             False)
+           if k == 1 else False)
     # optional per-AL-round inner budgets, e.g. "25,50" (first rounds
     # capped, later rounds full) — A/B knob for the AL schedule
     sched_env = os.environ.get("ODX_BENCH_ALSCHED", "")
@@ -160,7 +165,7 @@ def _run_segmented(fused: bool, B: int):
     if k > 1:
         name += " k=%d" % k
     if pla:
-        name += " pla"
+        name += " pla" if pla is True else " pla-dev"
     n_conv = int(jnp.sum(res.converged))
     out = _result(name, B, n_conv, dt)
     out["mean_inner_iters"] = round(float(jnp.mean(res.iterations)), 1)
@@ -252,7 +257,9 @@ def variant_push(B: int = 64):
         shift = shift.at[:, i + 5].add(delta[:, i])
         shift = shift.at[:, i + 8].add(delta[:, i])
     x0s = jnp.tile(x0.astype(dtype), (B, 1)) + shift
-    pla = os.environ.get("ODX_BENCH_PLA", "1") == "1"
+    pla_env = os.environ.get("ODX_BENCH_PLA", "device")
+    pla = {"device": "device", "1": True, "host": True}.get(pla_env,
+                                                            False)
     stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
     log = ((lambda s: print("# " + s, flush=True))
            if os.environ.get("ODX_BENCH_LOG", "0") == "1" else None)
@@ -270,7 +277,9 @@ def variant_push(B: int = 64):
     out = {
         "metric": ("planar-push nz=35 CONVERGED full iLQR solves/s "
                    "(1 chip, segmented+fused%s, batch %d, %d/%d "
-                   "converged)" % (" pla" if pla else "", B, n_conv, B)),
+                   "converged)"
+                   % (" pla-dev" if pla == "device"
+                      else " pla" if pla else "", B, n_conv, B)),
         "value": round(v, 3), "unit": "converged solves/s",
         "vs_baseline": round(v / TARGET_PER_CHIP, 4),
         "converged_frac": round(n_conv / B, 4),

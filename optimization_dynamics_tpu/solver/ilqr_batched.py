@@ -470,6 +470,127 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
             cand0, active, ais)
         return Kss, kss, dV1, dV2, qu_inf, bp_ok, cand, covered
 
+    # ------------------------------------------------------------------
+    # Device-resident adaptive inner step (round 4, second iteration).
+    #
+    # The HOST-driven per-lane rungs above measured SLOWER on-chip than
+    # the slice cascade despite 2.2x less rollout compute (bench r4
+    # run 1: 814 ms/iteration vs 446) — each sequential rung pays a
+    # dispatch + host-sync round-trip (~45 ms) and, at the knife edge,
+    # ~86% of iterations still reach full backtracking depth, so depth
+    # serialization dominates. This program keeps the WHOLE iteration
+    # on-device, one dispatch, and attacks depth with alpha MEMORY:
+    #
+    #   rung 0 rolls a per-lane TWO-alpha window {1.0, alpha_mem} as
+    #   one 2B-lane batched rollout (alpha=1 is ALWAYS tried, which
+    #   keeps the obj_tol done-criterion honest — a small remembered
+    #   step can only be accepted after alpha=1 rejected, the same
+    #   evidence the reference's always-from-1 grid produces);
+    #   a lax.while_loop then rolls ONE further per-lane candidate at a
+    #   time (grid order, skipping the two already tried) only while
+    #   some active lane has no accept — most iterations never enter it
+    #   once the memory has settled. Accepted lanes remember
+    #   max(index - 1, 1) (one notch back toward 1.0 per accept).
+    #
+    # NOT decision-identical to the reference grid: indices strictly
+    # between 1.0 and alpha_mem are tried only in the fallback loop, so
+    # a lane can step smaller than the grid's first-passing alpha. The
+    # acceptance criterion (Armijo) and the stopping rules are
+    # unchanged; deploy A/Bs gate convergence + objective parity.
+    # ------------------------------------------------------------------
+    def inner_step_adaptive(xss, uss, Js, regs, lams, lamTs, rhos,
+                            active, wss, ais):
+        """One iteration, one dispatch. ``ais (B,) int32`` in
+        ``[1, n_alpha-1]``. Returns the ``inner_step`` outputs plus
+        ``ais_next`` and ``depth`` (1 + fallback rungs executed)."""
+        Bw = xss.shape[0]
+        ais = jnp.clip(ais, 1, n_alpha - 1)
+        d = derivatives(xss, uss, lams, lamTs, rhos, wss)
+        Kss, kss, dV1, dV2, qu_inf, bp_ok = backward(*d, regs)
+
+        # rung 0: per-lane window {index 0 (alpha=1), index ai} as ONE
+        # 2B-lane rollout, lane-major so lane b occupies rows 2b, 2b+1
+        idx2 = jnp.stack([jnp.zeros(Bw, jnp.int32), ais], 1).reshape(-1)
+        alphas2 = alpha_grid[idx2]
+        rep = lambda a: jnp.repeat(a, 2, axis=0)
+        xs_c, us_c, J_c, ws_c = closed_loop(
+            rep(xss), rep(uss), rep(Kss), rep(kss), alphas2,
+            rep(lams), rep(lamTs), rep(rhos), rep(wss))
+        exp2 = alphas2 * rep(dV1) + alphas2 ** 2 * rep(dV2)
+        ok2 = jnp.logical_and(
+            jnp.isfinite(J_c),
+            J_c <= rep(Js) + opts.armijo_c1 * jnp.minimum(exp2, 0.0))
+        ok2 = ok2.reshape(Bw, 2)
+        # grid order: prefer alpha=1 over the remembered smaller alpha
+        pick = jnp.where(ok2[:, 0], 0, 1)
+        sel = jnp.arange(Bw) * 2 + pick
+        accepted = jnp.any(ok2, axis=1)
+        acc_idx = jnp.where(ok2[:, 0], 0, ais)
+        cand = (xs_c[sel], us_c[sel], J_c.reshape(Bw, 2)[
+            jnp.arange(Bw), pick], accepted, ws_c[sel], acc_idx)
+
+        # fallback: one per-lane candidate per while-iteration, grid
+        # order skipping {0, ai}: r-th fallback index = r if r < ai
+        # else r + 1  (r = 1..n_alpha-2 covers the rest of the grid)
+        def fb_cond(carry):
+            r, cand = carry
+            return jnp.logical_and(
+                r <= n_alpha - 2,
+                jnp.any(jnp.logical_and(active,
+                                        jnp.logical_not(cand[3]))))
+
+        def fb_body(carry):
+            r, cand = carry
+            f = jnp.where(r < ais, r, r + 1).astype(jnp.int32)
+            alphas = alpha_grid[f]
+            xs_c, us_c, J_c, ws_c = closed_loop(
+                xss, uss, Kss, kss, alphas, lams, lamTs, rhos, wss)
+            expd = alphas * dV1 + alphas ** 2 * dV2
+            ok = jnp.logical_and(
+                jnp.isfinite(J_c),
+                J_c <= Js + opts.armijo_c1 * jnp.minimum(expd, 0.0))
+            xs_b, us_b, J_b, acc_b, ws_b, ai_b = cand
+            take = jnp.logical_and(ok, jnp.logical_not(acc_b))
+            cand = (jnp.where(take[:, None, None], xs_c, xs_b),
+                    jnp.where(take[:, None, None], us_c, us_b),
+                    jnp.where(take, J_c, J_b),
+                    jnp.logical_or(acc_b, ok),
+                    jnp.where(take[:, None, None], ws_c, ws_b),
+                    jnp.where(take, f, ai_b))
+            return r + 1, cand
+
+        rf, cand = jax.lax.while_loop(fb_cond, fb_body, (jnp.asarray(
+            1, jnp.int32), cand))
+        xss_n, uss_n, Js_n, accepted, wss_n, acc_idx = (
+            cand[0], cand[1], cand[2], cand[3], cand[4], cand[5])
+
+        ls_failed = jnp.logical_not(jnp.logical_and(accepted, bp_ok))
+        regs_n = jnp.where(
+            ls_failed,
+            jnp.minimum(regs * opts.reg_up, opts.reg_max),
+            jnp.maximum(regs * opts.reg_down, opts.reg_min))
+        keep = jnp.logical_or(ls_failed, jnp.logical_not(active))
+        xss_n = jnp.where(keep[:, None, None], xss, xss_n)
+        uss_n = jnp.where(keep[:, None, None], uss, uss_n)
+        Js_n = jnp.where(keep, Js, Js_n)
+        regs_n = jnp.where(active, regs_n, regs)
+        wss_n = jnp.where(keep[:, None, None], wss, wss_n)
+
+        grad_small = qu_inf < opts.grad_tol
+        obj_small = jnp.abs(Js - Js_n) < opts.obj_tol
+        reg_capped = regs_n >= opts.reg_max
+        newly_done = jnp.logical_or(
+            grad_small,
+            jnp.logical_or(jnp.logical_and(accepted, obj_small),
+                           jnp.logical_and(ls_failed, reg_capped)))
+        ok_lanes = jnp.logical_or(jnp.logical_and(accepted, bp_ok),
+                                  jnp.logical_not(active))
+        ais_next = jnp.where(
+            jnp.logical_and(active, accepted),
+            jnp.maximum(acc_idx - 1, 1), ais).astype(jnp.int32)
+        return (xss_n, uss_n, Js_n, regs_n, wss_n, newly_done,
+                qu_inf, ok_lanes, ais_next, rf)
+
     def ls_apply(xss, uss, Js, regs, wss, active, cand, qu_inf, bp_ok):
         """Accept/reject bookkeeping — the tail of ``inner_step`` with
         the merged cascade candidates standing in for the grid pick."""
@@ -619,6 +740,7 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         inner_step_mid=inner_step_mid,
         ls_prep=ls_prep, ls_rungs=ls_rungs, ls_apply=ls_apply,
         ls_prep_at=ls_prep_at, ls_rung_at=ls_rung_at,
+        inner_step_adaptive=inner_step_adaptive,
         n_alpha=n_alpha,
         # alphas rolled by slice0 and each cascade rung (the segmented
         # executor's dispatch accounting uses these)

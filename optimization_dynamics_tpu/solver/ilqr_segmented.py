@@ -94,7 +94,24 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     indices are an input), so this path compiles fewer phase programs
     than the slice cascade.
 
-    ``alpha_memory`` (opt-in refinement of ``per_lane_alpha``): each
+    ``per_lane_alpha="device"`` (round 4, second iteration — the deploy
+    default): the whole inner iteration runs as ONE device program
+    (``ilqr_batched.inner_step_adaptive``): derivative sweep + backward
+    + a per-lane two-alpha window rollout {1.0, remembered alpha} + an
+    in-device ``while_loop`` fallback over the rest of the grid, with
+    per-lane alpha memory threading through as a device array. The
+    host-driven rung variant above measured SLOWER on-chip than the
+    slice cascade (814 ms vs 446 ms per iteration at the knife edge)
+    because each sequential rung pays a dispatch + host-sync round trip;
+    this variant pays one dispatch per iteration and cuts rollout work
+    via the memory window instead of rung serialization. Alpha=1 is
+    tried every iteration, so the ``obj_tol`` done-criterion keeps the
+    reference's evidence (a small step only accepted after alpha=1
+    rejected). Not decision-identical (window skips mid-grid alphas
+    until fallback); convergence + objective parity are A/B-gated in
+    bench.py.
+
+    ``alpha_memory`` (opt-in refinement of host ``per_lane_alpha``): each
     lane starts rung 0 at the alpha index it accepted last iteration
     (stepping one notch back toward alpha=1 per accept) and backtracks
     from there, wrapping to the untried larger alphas last. Saves rungs
@@ -152,7 +169,12 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     ``iters_per_dispatch``; see docs/DESIGN.md §3 for the measured
     knife-edge effect). Each bucket width compiles its own phase set
     (first call per width pays it; the compilation cache makes it
-    one-time).
+    one-time). NOTE ``compact`` is ON by default (since round 3):
+    results are bitwise-reproducible for a fixed solver version and
+    batch, but comparisons ACROSS versions/widths are ~1e-15
+    rounding-sensitive (knife-edge configs can land in a different
+    converged optimum); pass ``compact=False`` to pin full-width
+    programs when cross-version reproducibility matters.
 
     ``max_iter_schedule``: optional per-AL-round inner-iteration budgets
     (sequence of ints; AL round i uses entry min(i, len-1)). Early AL
@@ -193,8 +215,9 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     # unlike the probe-era staging there is no overlap cost to trim:
     # ``mid_ls`` is accepted for signature compatibility and ignored.
     cascade = two_stage_ls and k == 1
-    adaptive = per_lane_alpha and cascade
-    if per_lane_alpha and not cascade:
+    adaptive_dev = per_lane_alpha == "device" and k == 1
+    adaptive = (per_lane_alpha and not adaptive_dev) and cascade
+    if per_lane_alpha and not (cascade or adaptive_dev):
         raise ValueError("per_lane_alpha needs two_stage_ls=True and "
                          "iters_per_dispatch=1 (the cascade path)")
     prep_j = jax.jit(ph.ls_prep) if cascade and not adaptive else None
@@ -203,6 +226,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     prep_at_j = jax.jit(ph.ls_prep_at) if adaptive else None
     rung_at_j = jax.jit(ph.ls_rung_at) if adaptive else None
     apply_j = jax.jit(ph.ls_apply) if cascade else None
+    adapt_j = jax.jit(ph.inner_step_adaptive) if adaptive_dev else None
     n_alpha = ph.n_alpha
 
     # active-lane compaction buckets: power-of-4 widths below B, each
@@ -220,8 +244,15 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         if W in _width_cache:
             return _width_cache[W]
         if W == B:
-            entry = ((prep_at_j, rung_at_j, apply_j) if adaptive
+            entry = ((adapt_j,) if adaptive_dev
+                     else (prep_at_j, rung_at_j, apply_j) if adaptive
                      else (prep_j, rung_js, apply_j))
+        elif adaptive_dev:
+            phw = make_phases(prob, opts, W, dtype)
+            a = jax.jit(phw.inner_step_adaptive)
+            if timers is not None:
+                a = timers.wrap("inner_adaptive@%d" % W, a)
+            entry = (a,)
         elif adaptive:
             phw = make_phases(prob, opts, W, dtype)
             p = jax.jit(phw.ls_prep_at)
@@ -422,6 +453,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         if prep_at_j is not None:
             prep_at_j = timers.wrap("ls_prep_at", prep_at_j)
             rung_at_j = timers.wrap("ls_rung_at", rung_at_j)
+        if adapt_j is not None:
+            adapt_j = timers.wrap("inner_adaptive", adapt_j)
         if apply_j is not None:
             apply_j = timers.wrap("ls_apply", apply_j)
         if scan_j is not None:
@@ -474,7 +507,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     # rollout work equals one full grid (the probe-era cascade re-paid
     # the sweep per probe and degenerated to the full grid 86% of the
     # time at B=128 lockstep — BASELINE.md round-3 budget).
-    n_rungs = n_alpha if adaptive else 1 + len(rung_js)
+    n_rungs = (n_alpha if (adaptive or adaptive_dev)
+               else 1 + len(rung_js))
 
     def inner(xss, uss, wss, lams, lamTs, rhos, act_al, its, gnorms,
               ai_state=None, max_iter_round=None):
@@ -490,7 +524,8 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         regs = jnp.full(B, opts.reg_init, dtype)
         done = np.asarray(~act_al)
         its_inc = np.zeros(B, np.int64)
-        depth_counts = [0] * n_rungs if cascade else None
+        depth_counts = ([0] * n_rungs if (cascade or adaptive_dev)
+                        else None)
         budget = (opts.max_iter if max_iter_round is None
                   else min(int(max_iter_round), opts.max_iter))
         for it in range(budget):
@@ -503,7 +538,42 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
                     if act_idx.size <= w:
                         W = w
                         break
-            if cascade and W < B:
+            if adaptive_dev:
+                # whole iteration in ONE dispatch (sweep + backward +
+                # two-alpha window rung + in-device fallback loop);
+                # the alpha memory rides along as a device array
+                ais = ai_state["ais"]
+                if W < B:
+                    idx_np = np.resize(act_idx, W)
+                    idx = jnp.asarray(idx_np)
+                    (xb, ub, Jb, rb, lamb, lamTb, rhob, wb) = gather_j(
+                        idx, xss, uss, Js, regs, lams, lamTs, rhos, wss)
+                    aib = jnp.take(ais, idx, axis=0)
+                    out = _width_entry(W)[0](
+                        xb, ub, Jb, rb, lamb, lamTb, rhob,
+                        jnp.ones((W,), bool), wb, aib)
+                    (xb, ub, Jb, rb, wb, nd_b, qu_b, _, ai_b,
+                     depth_d) = out
+                    xss, uss, Js, regs, wss, gnorms = scatter_j(
+                        idx, xss, uss, Js, regs, wss, gnorms,
+                        xb, ub, Jb, rb, wb, qu_b)
+                    ai_state["ais"] = ais.at[idx].set(ai_b)
+                    nd = np.zeros(B, bool)
+                    nd[idx_np] = np.asarray(nd_b)
+                else:
+                    active = jnp.asarray(~done)
+                    out = adapt_j(xss, uss, Js, regs, lams, lamTs,
+                                  rhos, active, wss, ais)
+                    (xss, uss, Js, regs, wss, newly_done, qu_inf, _,
+                     ai_n, depth_d) = out
+                    ai_state["ais"] = ai_n
+                    gnorms = jnp.where(active, qu_inf, gnorms)
+                    nd = np.asarray(newly_done)
+                depth = int(depth_d)
+                _stat("sweep_lanes", W)
+                _stat("roll_lanes", W * (1 + depth))
+                depth_counts[min(depth, n_rungs) - 1] += 1
+            elif cascade and W < B:
                 # compacted iteration: gather active lanes (cyclically
                 # padded to the bucket width) into width-W phase programs
                 idx_np = np.resize(act_idx, W)
@@ -602,7 +672,11 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         al_it = 0
         # adaptive line search: every lane starts at alpha = 1.0; the
         # remembered indices persist across AL rounds within this solve
-        ai_state = np.zeros(B, np.int32) if adaptive else None
+        # (host path: np array of grid indices; device path: a holder
+        # dict around the on-device memory vector, init index 1)
+        ai_state = (np.zeros(B, np.int32) if adaptive
+                    else {"ais": jnp.ones(B, jnp.int32)}
+                    if adaptive_dev else None)
 
         if ph.has_con or ph.has_conT:
             for al_it in range(1, opts.max_al_iter + 1):

@@ -399,6 +399,45 @@ def test_warm_start_from_neighbor_solution():
                                rtol=2.5e-1)
 
 
+def test_device_adaptive_inner_step():
+    """per_lane_alpha="device": the one-dispatch adaptive inner step
+    (two-alpha window {1, remembered} + in-device fallback while_loop)
+    must converge the batch to the same optima as the slice cascade
+    (equal converged flags, objectives to basin tolerance) — it is NOT
+    decision-identical (window skips mid-grid alphas), so no bitwise
+    pins — and compose with bucket compaction."""
+    prob, _ = _acrobot_con_problem()
+    opts = ILQROptions(max_iter=20, max_al_iter=6, con_tol=1e-2)
+    B = 4
+    x0s = jnp.tile(jnp.array([0.1, 1.0, 0.1, 1.0]), (B, 1)) \
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(2), (B, 4))
+    us0 = jnp.zeros((prob.T - 1, 1))
+
+    logs = []
+    run_d = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                  per_lane_alpha="device",
+                                  compact_min=2,
+                                  log=lambda s: logs.append(s))
+    run_c = make_segmented_solver(prob, opts, B, dtype=x0s.dtype)
+    rd = run_d(x0s, us0)
+    rc = run_c(x0s, us0)
+    np.testing.assert_array_equal(np.asarray(rd.converged),
+                                  np.asarray(rc.converged))
+    conv = np.asarray(rc.converged)
+    assert conv.any()
+    np.testing.assert_allclose(np.asarray(rd.objective)[conv],
+                               np.asarray(rc.objective)[conv],
+                               rtol=2.5e-1)
+    assert bool(jnp.all(jnp.isfinite(rd.xs)))
+    # one dispatch per iteration: stats must show the window shape
+    # (sweeps == iterations dispatched at their widths)
+    assert run_d.stats["inner_iters"] > 0
+    assert run_d.stats["roll_lanes"] >= 2 * run_d.stats["inner_iters"]
+    # solver reusable with fresh device alpha memory
+    rd2 = run_d(x0s + 0.01, us0)
+    assert bool(jnp.all(jnp.isfinite(rd2.xs)))
+
+
 def test_per_lane_alpha_rejects_bad_combo():
     prob = _lqr_problem()
     opts = ILQROptions()
