@@ -130,21 +130,27 @@ def _run_segmented(fused: bool, B: int):
     # unchanged). The round-3 phase budget measured 2/128 hopeless lanes
     # holding all 20 AL rounds open at ~0.45 s per lockstep iteration.
     stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
-    # per-lane adaptive line search (round 4). "device" (default): the
-    # one-dispatch adaptive inner step with an in-device fallback loop
-    # and alpha memory — the host-driven rung variant ("host"/"1")
-    # measured SLOWER than the slice cascade (814 ms vs 446 ms per
-    # iteration: each sequential rung pays a dispatch+sync round trip).
-    # "0" restores the round-3 slice cascade.
-    pla_env = os.environ.get("ODX_BENCH_PLA", "device")
+    # per-lane adaptive line search (round-4 A/B: both variants LOST to
+    # the slice cascade on-chip, so the default stays "0"/cascade).
+    # "host": sequential per-lane rungs — 0.225 solves/s (each rung
+    # pays a dispatch+sync round trip, 814 ms/iter). "device": the
+    # one-dispatch adaptive inner step — 0.429 solves/s (the nested
+    # while(scan(pallas-kernel)) program runs ~786 ms/iter despite
+    # fewer rolled alphas; deep control-flow overhead dominates).
+    # Cascade + AL schedule: 1.056 solves/s (logs/bench_r4_*).
+    pla_env = os.environ.get("ODX_BENCH_PLA", "0")
     pla = ({"device": "device", "1": True, "host": True}.get(pla_env,
                                                              False)
            if k == 1 else False)
-    # optional per-AL-round inner budgets, e.g. "25,50" (first rounds
-    # capped, later rounds full) — A/B knob for the AL schedule
-    sched_env = os.environ.get("ODX_BENCH_ALSCHED", "")
-    sched = ([int(s) for s in sched_env.split(",") if s]
-             if sched_env else None)
+    # per-AL-round inner budgets (round-4 A/B winner, now the default):
+    # early AL rounds polish a penalty surface that the next dual
+    # update discards — capping them cut mean inner iterations 455.8
+    # -> 145.4 and lifted the chip headline 0.395 -> 1.056 converged
+    # solves/s at 120/128 converged (logs/bench_r4_alsched_run1.log).
+    # Override with ODX_BENCH_ALSCHED="a,b,c" or disable with "none".
+    sched_env = os.environ.get("ODX_BENCH_ALSCHED", "15,15,25,25,30")
+    sched = (None if sched_env in ("", "none")
+             else [int(s) for s in sched_env.split(",")])
     # ODX_BENCH_LOG=1: per-AL-round host log (costs a scalar device sync
     # per inner iteration — diagnosis only, skews the timing slightly)
     log = ((lambda s: print("# " + s, flush=True))
@@ -257,14 +263,18 @@ def variant_push(B: int = 64):
         shift = shift.at[:, i + 5].add(delta[:, i])
         shift = shift.at[:, i + 8].add(delta[:, i])
     x0s = jnp.tile(x0.astype(dtype), (B, 1)) + shift
-    pla_env = os.environ.get("ODX_BENCH_PLA", "device")
+    pla_env = os.environ.get("ODX_BENCH_PLA", "0")
     pla = {"device": "device", "1": True, "host": True}.get(pla_env,
                                                             False)
     stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
     log = ((lambda s: print("# " + s, flush=True))
            if os.environ.get("ODX_BENCH_LOG", "0") == "1" else None)
+    sched_env = os.environ.get("ODX_BENCH_ALSCHED", "none")
+    sched = (None if sched_env in ("", "none")
+             else [int(s) for s in sched_env.split(",")])
     run = make_segmented_solver(prob, opts, B, dtype=dtype,
                                 per_lane_alpha=pla,
+                                max_iter_schedule=sched,
                                 al_stall_rounds=stall, log=log)
     res = run(x0s, us0.astype(dtype))
     jax.block_until_ready(res.xs)

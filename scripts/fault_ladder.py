@@ -60,11 +60,14 @@ RUNGS = [
     "r7_fused_full",
     "r8_segmented_fused",
     "r9_segmented_kscan",
+    "r10_deploy_compact",
+    "r11_deploy_nocompact",
 ]
 
 # generous: remote compiles of full-solve programs take 10-30 min cold
 TIMEOUT_S = {"r7_fused_full": 3600, "r8_segmented_fused": 3600,
-             "r9_segmented_kscan": 3600}
+             "r9_segmented_kscan": 3600, "r10_deploy_compact": 3600,
+             "r11_deploy_nocompact": 3600}
 DEFAULT_TIMEOUT_S = 2400
 
 
@@ -336,6 +339,40 @@ def r9_segmented_kscan():
     res = run(x0s, us0)
     jax.block_until_ready(res.xs)
     return {"B": B, "T": T, "k": 4, "converged": int(res.converged.sum())}
+
+
+def _r10_common(compact: bool):
+    """Deploy defaults (slice cascade + AL inner-budget schedule, the
+    round-4 bench winner) with compaction toggled — the on-chip A/B
+    for the width-rounding caveat (VERDICT r3 #6): converged lane SETS
+    are reported so divergence is visible, not just counts."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from optimization_dynamics_tpu.solver.ilqr_segmented import (
+        make_segmented_solver)
+    B, T = 128, 51
+    prob, x0, us0, opts = _bench_problem(fused=True, T=T)
+    key = jax.random.PRNGKey(0)
+    x0s = (jnp.tile(x0, (B, 1))
+           + 0.01 * jax.random.normal(key, (B, 4), jnp.float32))
+    run = make_segmented_solver(prob, opts, B, dtype=jnp.float32,
+                                max_iter_schedule=[15, 15, 25, 25, 30],
+                                al_stall_rounds=2, compact=compact,
+                                log=lambda s: print(s, flush=True))
+    res = run(x0s, us0)
+    jax.block_until_ready(res.xs)
+    import numpy as np
+    conv = np.flatnonzero(np.asarray(res.converged)).tolist()
+    return {"B": B, "T": T, "compact": compact,
+            "converged": len(conv), "converged_set": conv}
+
+
+def r10_deploy_compact():
+    return _r10_common(True)
+
+
+def r11_deploy_nocompact():
+    return _r10_common(False)
 
 
 CONV_GATE = 0.9   # full-solve rungs must CONVERGE, not just run
