@@ -56,7 +56,13 @@ if "scoped_vmem" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 TARGET_PER_CHIP = 1000.0 / 16.0          # north-star solves/s per chip
-STEPS_PER_SOLVE = 37000.0                # measured IP solves per full solve
+# IP solves per converged full solve, MEASURED by the segmented
+# executor's dispatch counters at the deploy config (round 4:
+# (sweep_lanes + roll_lanes) * (T-1) / converged = ~70.5k,
+# logs/bench_r4_alsched_run1.log; the round-1 hand estimate was 37k
+# for a sequential-shape solve). Only used to convert the steps/s
+# fallback variant into solve-equivalents for vs_baseline.
+STEPS_PER_SOLVE = 70490.0
 CONV_GATE = 0.9                          # headline needs >= 90% converged
 
 

@@ -143,9 +143,12 @@ def run_sweep_deploy(n_scenarios: int = 256, shard: int = 128,
     if not on_tpu:
         shard = min(shard, 8)        # CPU tier: keep lockstep width sane
     prob, x0, us0, opts = excp.build_deploy_problem(on_tpu, dtype=dtype)
-    log = (lambda s: print("# " + s, flush=True)) if verbose else None
+    # the round-4 bench-winning deploy policy: slice cascade + per-AL-
+    # round inner budgets + straggler drop (logs/bench_r4_alsched_run1;
+    # per-iteration solver logging stays off — it costs a device sync)
     run = make_segmented_solver(prob, opts, shard, dtype=dtype,
-                                per_lane_alpha=True, al_stall_rounds=2)
+                                max_iter_schedule=[15, 15, 25, 25, 30],
+                                al_stall_rounds=2)
     ck = SweepCheckpointer(out_dir) if out_dir else None
 
     n_shards = (n_scenarios + shard - 1) // shard
