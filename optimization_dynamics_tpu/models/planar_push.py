@@ -23,8 +23,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from optimization_dynamics_tpu.models.base import rotation_matrix
 from optimization_dynamics_tpu.ops.cones import ConeSpec, cone_product
 
 NQ, NU, NC = 5, 2, 5
@@ -46,9 +46,19 @@ class PlanarPushParams(NamedTuple):
     gravity: float = 9.81
 
 
+def _rotate2(angle, v):
+    """2-D rotation as scalar arithmetic — NOT a 2x2 matmul: inside the
+    fused Pallas kernel the batched tiny dot_general hits a Mosaic
+    dot_dimension_numbers serialization bug on this toolchain
+    (logs/push_fail_trace.log); elementwise trig lowers cleanly and is
+    faster anyway."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.stack([c * v[0] - s * v[1], s * v[0] + c * v[1]])
+
+
 def sd_2d_box(p, pose):
     """p=10 smooth-max signed distance to the box (model.jl:26-31)."""
-    delta = rotation_matrix(-pose[2]) @ (p - pose[0:2])
+    delta = _rotate2(-pose[2], p - pose[0:2])
     s = 10
     return jnp.sum(delta ** s) ** (1.0 / s) - R_DIM
 
@@ -60,9 +70,9 @@ def phi(q):
 
 def corner_positions(q):
     """World positions of the four contact corners (model.jl:87-96)."""
-    R = rotation_matrix(q[2])
     pos = q[0:2]
-    return jnp.concatenate([pos + R @ jnp.array(c) for c in _CORNERS])
+    return jnp.concatenate(
+        [pos + _rotate2(q[2], jnp.array(c)) for c in _CORNERS])
 
 
 def normal(q):
@@ -84,13 +94,18 @@ def tangential_jacobian(q):
 
 
 def mass_matrix(p: PlanarPushParams):
-    return jnp.diag(jnp.array([p.mass_block, p.mass_block, p.inertia,
-                               p.mass_pusher, p.mass_pusher]))
+    # numpy constant (not jnp.diag of a traced array): inside the fused
+    # Pallas kernel the scatter/diag lowering paths are unimplemented
+    # or buggy on this Mosaic toolchain — constants fold away instead
+    return jnp.asarray(np.diag([p.mass_block, p.mass_block, p.inertia,
+                                p.mass_pusher, p.mass_pusher]))
 
 
 def control_matrix():
-    B = jnp.zeros((NQ, NU))
-    return B.at[3, 0].set(1.0).at[4, 1].set(1.0)
+    B = np.zeros((NQ, NU))
+    B[3, 0] = 1.0
+    B[4, 1] = 1.0
+    return jnp.asarray(B)
 
 
 def unpack_z(z):
