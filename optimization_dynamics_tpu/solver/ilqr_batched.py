@@ -642,11 +642,14 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         """
 
         def inner_scan(xss, uss, Js, regs, lams, lamTs, rhos, active,
-                       wss, its, gnorms, rit):
+                       wss, its, gnorms, rit, budget):
             """``rit`` is the round-local iteration counter (the host
-            passes zeros at the start of each AL round); it enforces
-            the per-round ``max_iter`` budget exactly as the host loop
-            does, even when a k-chunk straddles the budget boundary."""
+            passes zeros at the start of each AL round); together with
+            ``budget`` (a traced scalar — this AL round's inner budget,
+            ``opts.max_iter`` or the round's ``max_iter_schedule``
+            entry) it enforces the per-round budget exactly as the
+            host loop does, even when a k-chunk straddles the budget
+            boundary — and without recompiling per schedule entry."""
             def body(carry, _):
                 xss, uss, Js, regs, wss, active, its, gnorms, rit = carry
 
@@ -670,7 +673,7 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
                     rit = rit + active.astype(jnp.int32)
                     active = jnp.logical_and(active,
                                              jnp.logical_not(newly_done))
-                    active = jnp.logical_and(active, rit < opts.max_iter)
+                    active = jnp.logical_and(active, rit < budget)
                     return (xss, uss, Js, regs, wss, active, its,
                             gnorms, rit)
 

@@ -181,8 +181,9 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     rounds polish a not-yet-final penalty surface — the reference runs
     ``max_iter`` everywhere (IterativeLQR semantics), so this is an
     opt-in deploy knob, A/B-gated like the straggler policy. ``None``
-    keeps ``opts.max_iter`` for every round. Cascade/full-grid paths
-    only (``iters_per_dispatch == 1``).
+    keeps ``opts.max_iter`` for every round. Works on every path; with
+    ``iters_per_dispatch > 1`` the budget rides into the k-scan as a
+    traced scalar (one compiled program serves all rounds).
 
     ``timers``: an optional ``utils.profiling.PhaseTimer``; every jitted
     phase program is wrapped with a barrier so ``timers.report()`` gives
@@ -480,16 +481,21 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         finish_j = timers.wrap("finish", finish_j)
 
     def inner_chunked(xss, uss, wss, lams, lamTs, rhos, act_al, its,
-                      gnorms):
-        """k-iterations-per-dispatch inner loop (iters_per_dispatch>1)."""
+                      gnorms, max_iter_round=None):
+        """k-iterations-per-dispatch inner loop (iters_per_dispatch>1).
+        ``max_iter_round`` (the AL schedule entry) rides into the scan
+        as a traced scalar — same compiled program for every round."""
         Js = traj_cost_j(xss, uss, lams, lamTs, rhos)
         regs = jnp.full(B, opts.reg_init, dtype)
         active = jnp.asarray(act_al)
         rit = jnp.zeros(B, jnp.int32)
-        for chunk in range((opts.max_iter + k - 1) // k):
+        budget = (opts.max_iter if max_iter_round is None
+                  else min(int(max_iter_round), opts.max_iter))
+        budget_d = jnp.asarray(budget, jnp.int32)
+        for chunk in range((budget + k - 1) // k):
             (xss, uss, Js, regs, wss, active, its, gnorms,
              rit) = scan_j(xss, uss, Js, regs, lams, lamTs, rhos,
-                           active, wss, its, gnorms, rit)
+                           active, wss, its, gnorms, rit, budget_d)
             n_active = int(jnp.sum(active))
             if log is not None:
                 log("  inner chunk=%d (k=%d) J=%.6g active=%d/%d"
@@ -519,7 +525,7 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
         (``max_iter_schedule``); None = ``opts.max_iter``."""
         if scan_j is not None:
             return inner_chunked(xss, uss, wss, lams, lamTs, rhos,
-                                 act_al, its, gnorms)
+                                 act_al, its, gnorms, max_iter_round)
         Js = traj_cost_j(xss, uss, lams, lamTs, rhos)
         regs = jnp.full(B, opts.reg_init, dtype)
         done = np.asarray(~act_al)

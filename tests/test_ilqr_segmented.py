@@ -201,6 +201,33 @@ def test_iters_per_dispatch_honors_two_stage_off():
                                   np.asarray(rt.iterations))
 
 
+def test_kscan_honors_al_schedule():
+    """iters_per_dispatch>1 + max_iter_schedule: the per-round budget
+    rides into the k-scan as a traced scalar and must enforce exactly
+    the host-driven cascade's budgets (identical iteration counts,
+    budgets straddling chunk boundaries included)."""
+    prob, _ = _acrobot_con_problem()
+    opts = ILQROptions(max_iter=10, max_al_iter=3, con_tol=1e-2)
+    B = 4
+    x0s = jnp.tile(jnp.array([0.1, 1.0, 0.1, 1.0]), (B, 1)) \
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(2), (B, 4))
+    us0 = jnp.zeros((prob.T - 1, 1))
+    sched = [3, 6]                # 3 then 6 then 6; k=4 chunks straddle
+    run1 = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                 max_iter_schedule=sched)
+    runk = make_segmented_solver(prob, opts, B, dtype=x0s.dtype,
+                                 iters_per_dispatch=4,
+                                 max_iter_schedule=sched)
+    r1 = run1(x0s, us0)
+    rk = runk(x0s, us0)
+    np.testing.assert_array_equal(np.asarray(rk.iterations),
+                                  np.asarray(r1.iterations))
+    np.testing.assert_allclose(np.asarray(rk.us), np.asarray(r1.us),
+                               atol=1e-9)
+    # the caps actually bind: no lane may exceed 3+6+6 inner iterations
+    assert int(jnp.max(rk.iterations)) <= 15
+
+
 def test_compaction_identical():
     """Active-lane batch compaction must not change any decision: lanes
     never interact inside a phase, so gathering the unconverged lanes
