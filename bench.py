@@ -256,8 +256,16 @@ def variant_push(B: int = 64):
     from optimization_dynamics_tpu.solver.ilqr_segmented import (
         make_segmented_solver)
     dtype = jnp.float32 if on_tpu else jnp.float64
+    # fused nz=35 kernel status (round 4): after the Mosaic lowering
+    # fixes (models/planar_push.py _matvec/_rotate2) the kernel lowers,
+    # but its remote compile exceeded 30 min (logs/
+    # push_kernel_compile.log rc=124) — default to the XLA
+    # batched-native IP phases, which this backend runs (round-1
+    # variant_steps measured 1890 steps/s at this shape).
+    fused = os.environ.get("ODX_BENCH_PUSH_FUSED", "0") == "1"
     prob, x0, us0, opts = expp.build_deploy_problem(on_tpu, "translate",
-                                                    dtype=dtype)
+                                                    dtype=dtype,
+                                                    fused=fused)
     if not on_tpu:
         B = 4
     key = jax.random.PRNGKey(0)
@@ -292,9 +300,10 @@ def variant_push(B: int = 64):
     v = n_conv / dt
     out = {
         "metric": ("planar-push nz=35 CONVERGED full iLQR solves/s "
-                   "(1 chip, segmented+fused%s, batch %d, %d/%d "
+                   "(1 chip, segmented+%s%s, batch %d, %d/%d "
                    "converged)"
-                   % (" pla-dev" if pla == "device"
+                   % ("fused" if fused else "xla",
+                      " pla-dev" if pla == "device"
                       else " pla" if pla else "", B, n_conv, B)),
         "value": round(v, 3), "unit": "converged solves/s",
         "vs_baseline": round(v / TARGET_PER_CHIP, 4),

@@ -93,12 +93,14 @@ def tangential_jacobian(q):
     return jnp.concatenate([p_block, p_pusher[None, :]], axis=0)
 
 
+def mass_diag(p: PlanarPushParams):
+    """Diagonal of the (diagonal) mass matrix — applied elementwise."""
+    return jnp.asarray(np.array([p.mass_block, p.mass_block, p.inertia,
+                                 p.mass_pusher, p.mass_pusher]))
+
+
 def mass_matrix(p: PlanarPushParams):
-    # numpy constant (not jnp.diag of a traced array): inside the fused
-    # Pallas kernel the scatter/diag lowering paths are unimplemented
-    # or buggy on this Mosaic toolchain — constants fold away instead
-    return jnp.asarray(np.diag([p.mass_block, p.mass_block, p.inertia,
-                                p.mass_pusher, p.mass_pusher]))
+    return jnp.diag(mass_diag(p))
 
 
 def control_matrix():
@@ -106,6 +108,16 @@ def control_matrix():
     B[3, 0] = 1.0
     B[4, 1] = 1.0
     return jnp.asarray(B)
+
+
+def _matvec(A, x):
+    """A @ x as multiply + reduce. The batched tiny dot_generals that
+    ``vmap``-to-batch-last produces inside the fused Pallas kernel hit
+    Mosaic toolchain bugs on these shapes (unparseable
+    tpu.dot_dimension_numbers for 2x2, rejected batched tpu.matmul for
+    9x5 — logs/push_fail_trace.log, logs/bench_r4_push_run2.log);
+    elementwise forms lower cleanly and cost the same on the VPU."""
+    return jnp.sum(A * x[None, :], axis=1)
 
 
 def unpack_z(z):
@@ -130,18 +142,20 @@ def residual(p: PlanarPushParams, z, theta, kappa):
     h = theta[12]
     q2, gamma1, s1, psi, b, s_psi, s_b = unpack_z(z)
 
-    M = mass_matrix(p)
+    m_diag = mass_diag(p)
     P = tangential_jacobian(q2)
     N = normal(q2)
-    vT = P @ (q2 - q1) / h
+    vT = _matvec(P, q2 - q1) / h
 
     vm1 = (q1 - q0) / h
     vm2 = (q2 - q1) / h
-    # D1L = 0 (no potential in-plane), D2L = M v (model.jl:150-161)
-    d = (M @ vm1 - M @ vm2
-         + control_matrix() @ u
+    # D1L = 0 (no potential in-plane), D2L = M v (model.jl:150-161);
+    # M is diagonal and B a selection, so both apply elementwise (and
+    # the kernel path needs the dot-free forms — see _matvec)
+    d = (m_diag * (vm1 - vm2)
+         + jnp.concatenate([jnp.zeros(3, u.dtype), u])
          + N * gamma1
-         + P.T @ b)
+         + jnp.sum(P * b[:, None], axis=0))
 
     budget = p.mu_surface * p.mass_block * p.gravity * h * 0.25
     k3 = jnp.stack([jnp.asarray(kappa) * jnp.ones(()), jnp.zeros(()),
