@@ -310,6 +310,13 @@ def variant_push(B: int = 64):
         "converged_frac": round(n_conv / B, 4),
         "batch": B, "wall_s": round(dt, 1),
         "mean_inner_iters": round(float(jnp.mean(res.iterations)), 1),
+        # objective sanity vs the CPU-f64 golden (translate ~11.8,
+        # tests/goldens.json): a "converged" batch far from it means
+        # the lenient f32 con_tol let a degenerate optimum through
+        "mean_obj_converged": round(float(
+            jnp.sum(jnp.where(res.converged, res.objective, 0.0))
+            / jnp.maximum(jnp.sum(res.converged), 1)), 3),
+        "max_vio": round(float(jnp.max(res.constraint_violation)), 5),
     }
     ip_solves = (run.stats.get("sweep_lanes", 0)
                  + run.stats.get("roll_lanes", 0)) * (prob.T - 1)
