@@ -13,8 +13,18 @@ Usage: python -m optimization_dynamics_tpu.examples.sweep [n_scenarios]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# XLA fusions around the fused Pallas IP kernel exceed the 16 MB
+# default scoped-vmem budget; the TPU-only flag must travel via
+# LIBTPU_INIT_ARGS (unknown XLA_FLAGS abort this backend's parser) and
+# must be set before first backend use (same preamble as bench.py).
+if "scoped_vmem" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "")
+        + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
 
 import jax
 import jax.numpy as jnp
@@ -114,7 +124,7 @@ def run_sweep(n_scenarios: int = 64, shard_size: int = 32,
 
 
 def run_sweep_deploy(n_scenarios: int = 256, shard: int = 128,
-                     warm: bool = True,
+                     warm: bool = False,
                      out_dir: str | None = None, verbose: bool = True):
     """Deploy-tier sweep with PROBLEM-LEVEL warm starts (VERDICT r3 #3
     and #7): the f32 segmented+fused flagship configuration that
@@ -124,12 +134,21 @@ def run_sweep_deploy(n_scenarios: int = 256, shard: int = 128,
     initial-state perturbations at the knife-edge friction 0.35).
 
     ``warm=True`` seeds each shard's controls AND augmented-Lagrangian
-    duals from its neighbor's converged solution (the reference's
-    examples warm-start from hand-rolled trajectories,
-    /root/reference/examples/cartpole.jl:79,95-96 — a sweep can do
-    better and warm-start from *solutions*); the penalty restarts at
-    ``rho_init`` so the AL loop re-verifies feasibility rather than
-    trusting stale violations. ``warm=False`` is the cold A/B arm.
+    duals from its neighbor's converged solution; the penalty restarts
+    at ``rho_init`` so the AL loop re-verifies feasibility.
+
+    MEASURED A/B (round 4, on-chip, 256 scenarios — logs/
+    sweep_{warm,cold}_r4.log): on THIS problem (knife-edge friction-
+    0.35 swing-up) neighbor warm starts are actively HARMFUL — the
+    warm arm converged 95/128 in 170 s where the cold arm converged
+    125/128 in 131 s on the identical shard. The open-loop rollout of
+    a neighbor's bang-bang controls from a different initial state
+    diverges (chaotic swing-up dynamics), and the stale duals then
+    pull toward the neighbor's basin. Warm starts DO pay on stable
+    regulation problems (tests/test_ilqr_segmented.py::
+    test_warm_start_from_neighbor_solution pins the iteration win), so
+    the mechanism stays; the deploy sweep default is COLD
+    (``--warm`` opt-in).
 
     Returns the per-shard summary list (wall, converged count, mean
     inner iterations, measured IP solves) — the warm-vs-cold A/B
@@ -138,6 +157,22 @@ def run_sweep_deploy(n_scenarios: int = 256, shard: int = 128,
     from optimization_dynamics_tpu.solver.ilqr_segmented import (
         make_segmented_solver)
 
+    # deploy-tier numerics (bench._setup_jax): full-f32 matmuls — the
+    # default bf16 multiplicands collapse convergence on the knife-edge
+    # friction-0.35 swing-up (measured here: 1/128 lanes converged with
+    # the default vs 120/128 at "highest"; docs/DESIGN.md §4) — and the
+    # persistent compile cache so repeat sweeps start hot
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+    except Exception:
+        pass
     on_tpu = jax.default_backend() != "cpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
     if not on_tpu:
@@ -155,8 +190,8 @@ def run_sweep_deploy(n_scenarios: int = 256, shard: int = 128,
     # fixed per-lane perturbation directions; shard s sits at magnitude
     # (s+1)*step along its lane's ray -> lane i of consecutive shards
     # are nearest neighbors in scenario space
-    dirs = np.asarray(jax.random.normal(jax.random.PRNGKey(0),
-                                        (shard, 4)))
+    dirs = np.array(jax.random.normal(jax.random.PRNGKey(0),
+                                      (shard, 4)))  # writable copy
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     step_mag = 0.02
 
@@ -193,7 +228,7 @@ def run_sweep_deploy(n_scenarios: int = 256, shard: int = 128,
 def main(argv):
     if "--tpu" in argv or "--deploy" in argv:
         n = next((int(a) for a in argv if a.isdigit()), 256)
-        run_sweep_deploy(n, warm="--cold" not in argv)
+        run_sweep_deploy(n, warm="--warm" in argv)
     else:
         n = int(argv[0]) if argv and argv[0].isdigit() else 64
         run_sweep(n)
