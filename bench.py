@@ -131,11 +131,14 @@ def _run_segmented(fused: bool, B: int):
     k = int(os.environ.get("ODX_BENCH_K", "1"))
     if os.environ.get("ODX_BENCH_PALLAS_RICCATI", "0") == "1":
         opts = dataclasses.replace(opts, pallas_riccati=on_tpu)
-    # straggler policy: drop lanes whose violation stalls for 2 AL rounds
-    # (host-side only — phase programs and their compile-cache keys are
-    # unchanged). The round-3 phase budget measured 2/128 hopeless lanes
-    # holding all 20 AL rounds open at ~0.45 s per lockstep iteration.
-    stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
+    # straggler policy: drop provably-hopeless lanes after 1 stalled AL
+    # round (host-side only — phase programs and their compile-cache
+    # keys are unchanged). Round-4 A/B at the champion schedule:
+    # stall=1 converged the same 120/128 set at 108.9 s vs 113.6 s for
+    # stall=2 (1.101 vs 1.056 solves/s; logs/bench_r4_stall1_run1.log)
+    # — the projection criterion only fires once rho is capped, so the
+    # earlier drop axes the same lanes, one round sooner.
+    stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "1"))
     # per-lane adaptive line search (round-4 A/B: both variants LOST to
     # the slice cascade on-chip, so the default stays "0"/cascade).
     # "host": sequential per-lane rungs — 0.225 solves/s (each rung
