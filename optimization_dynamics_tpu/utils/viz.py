@@ -286,6 +286,133 @@ draw(0);
     return path
 
 
+def _box_segments(center, half, R=None):
+    """12-edge wireframe of an axis-aligned box (optionally rotated)."""
+    cx, cy, cz = center
+    hx, hy, hz = half
+    corners = np.array([[sx * hx, sy * hy, sz * hz]
+                        for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)])
+    if R is not None:
+        corners = corners @ np.asarray(R).T
+    corners = corners + np.array([cx, cy, cz])
+    edges = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
+             (5, 7), (0, 4), (1, 5), (2, 6), (3, 7)]
+    return [[tuple(corners[a]), tuple(corners[b])] for a, b in edges]
+
+
+def frame_cartpole_3d(q, length=0.5):
+    """Cart as a box on a rail (x-axis), pole swinging in the x-z
+    plane — the 3-D analog of the reference's MeshCat scene
+    (/root/reference/src/models/cartpole/visuals.jl)."""
+    segs = [[(-2.0, 0.0, 0.0), (2.0, 0.0, 0.0)]]           # rail
+    segs += _box_segments((q[0], 0.0, 0.0), (0.15, 0.08, 0.06))
+    tip = (q[0] + length * np.sin(q[1]), 0.0, -length * np.cos(q[1]))
+    segs.append([(q[0], 0.0, 0.0), tip])
+    segs += _box_segments(tip, (0.03, 0.03, 0.03))
+    return segs
+
+
+def frame_acrobot_3d(q, l1=1.0, l2=1.0):
+    """Double pendulum in the x-z plane with elbow/tip markers
+    (/root/reference/src/models/acrobot/visuals.jl)."""
+    p1 = (l1 * np.sin(q[0]), 0.0, -l1 * np.cos(q[0]))
+    p2 = (p1[0] + l2 * np.sin(q[0] + q[1]), 0.0,
+          p1[2] - l2 * np.cos(q[0] + q[1]))
+    segs = [[(0.0, 0.0, 0.0), p1], [p1, p2]]
+    segs += _box_segments(p1, (0.04, 0.04, 0.04))
+    segs += _box_segments(p2, (0.04, 0.04, 0.04))
+    return segs
+
+
+def frame_planar_push_3d(q, r=0.1):
+    """Block extruded out of the table plane + vertical pusher rod
+    (/root/reference/src/models/planar_push/visuals.jl)."""
+    c, s = np.cos(q[2]), np.sin(q[2])
+    R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    segs = _box_segments((q[0], q[1], r), (r, r, r), R)
+    segs.append([(q[3], q[4], 0.0), (q[3], q[4], 2.5 * r)])  # pusher rod
+    ang = np.linspace(0, 2 * np.pi, 13)
+    segs.append([(q[3] + 0.02 * np.cos(a), q[4] + 0.02 * np.sin(a), r)
+                 for a in ang])                              # pusher tip
+    return segs
+
+
+def frame_hopper_3d(q, body_radius=0.1):
+    """Hopper body as orthogonal rings + leg to the foot
+    (RoboDojo hopper, /root/reference/examples/hopper.jl)."""
+    ang = np.linspace(0, 2 * np.pi, 17)
+    bx, bz = q[0], q[1]
+    segs = [[(bx + body_radius * np.cos(a), 0.0,
+              bz + body_radius * np.sin(a)) for a in ang],
+            [(bx + body_radius * np.cos(a),
+              body_radius * np.sin(a), bz) for a in ang]]
+    foot = (bx + q[3] * np.sin(q[2]), 0.0, bz - q[3] * np.cos(q[2]))
+    segs.append([(bx, 0.0, bz), foot])
+    segs += _box_segments(foot, (0.03, 0.03, 0.03))
+    segs.append([(-1.0, 0.0, 0.0), (3.0, 0.0, 0.0)])         # ground
+    return segs
+
+
+_FRAMES_3D = {
+    "cartpole": frame_cartpole_3d,
+    "acrobot": frame_acrobot_3d,
+    "planar_push": frame_planar_push_3d,
+    "hopper": frame_hopper_3d,
+}
+
+
+def visualize_3d(model_name: str, qs, path: str, dt: float = 0.05):
+    """3-D HTML player for any model — completes the reference's
+    MeshCat scene coverage (/root/reference/src/models/visualize.jl)
+    with the dependency-free canvas player. ``model_name`` in
+    {cartpole, acrobot, planar_push, hopper, rocket}; rocket states are
+    (T, 12) and route through ``visualize_rocket_3d``."""
+    if model_name == "rocket":
+        return visualize_rocket_3d(qs, path, dt=dt)
+    frame_fn = _FRAMES_3D[model_name]
+    frames = [frame_fn(np.asarray(q)) for q in np.asarray(qs)]
+    return animate_html_3d(frames, path, dt=dt,
+                           title=f"{model_name} (3-D)")
+
+
+def load_obj_segments(obj_path: str, scale: float = 1.0):
+    """Edge segments of a Wavefront OBJ mesh (vertices + faces only) —
+    the hook for the reference's optional Starship mesh
+    (/root/reference/src/models/rocket/visuals.jl:5-20: users supply
+    their own OBJ; none ships with either repo)."""
+    verts, edges = [], set()
+    with open(obj_path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([scale * float(v) for v in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                for a, b in zip(idx, idx[1:] + idx[:1]):
+                    edges.add((min(a, b), max(a, b)))
+    return [[tuple(verts[a]), tuple(verts[b])] for a, b in edges]
+
+
+def visualize_rocket_3d_mesh(xs, obj_path: str, path: str,
+                             dt: float = 0.05, scale: float = 1.0):
+    """Rocket player with a user-supplied OBJ body mesh (Starship
+    option): the mesh rides the body frame instead of the built-in
+    octagonal prism."""
+    from optimization_dynamics_tpu.models.rocket import mrp_rotation
+    import jax.numpy as jnp
+    base = load_obj_segments(obj_path, scale=scale)
+    frames = []
+    for x in np.asarray(xs):
+        R = np.asarray(mrp_rotation(jnp.asarray(x[3:6])))
+        p = np.asarray(x[0:3])
+        frames.append([[tuple(p + R @ np.asarray(a)),
+                        tuple(p + R @ np.asarray(b))] for a, b in base])
+    return animate_html_3d(frames, path, dt=dt, title="rocket (mesh)")
+
+
 def maybe_visualize(model_name: str, qs, dt: float = 0.05):
     """Write animations when ODX_VIZ_DIR is set (used by example mains)."""
     import os
