@@ -328,6 +328,59 @@ def variant_push(B: int = 64):
     return out
 
 
+def variant_acrobot(B: int = 64):
+    """Third contact system on the chip: acrobot swing-up with hard
+    elbow joint limits at the reference config (T=101, orthant
+    complementarity nz=6) through the deploy tier. Worker-only:
+    `python bench.py acrobot`; recorded in BASELINE.md."""
+    jax, on_tpu = _setup_jax()
+    import jax.numpy as jnp
+    from optimization_dynamics_tpu.examples import acrobot as exac
+    from optimization_dynamics_tpu.solver.ilqr_segmented import (
+        make_segmented_solver)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x0, us0, opts = exac.build_deploy_problem(on_tpu, dtype=dtype)
+    if not on_tpu:
+        B = 4
+    x0s = _x0s(jax, jnp, x0, B, dtype)
+    stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "1"))
+    sched_env = os.environ.get("ODX_BENCH_ALSCHED", "15,15,25,25,30")
+    sched = (None if sched_env in ("", "none")
+             else [int(s) for s in sched_env.split(",")])
+    log = ((lambda s: print("# " + s, flush=True))
+           if os.environ.get("ODX_BENCH_LOG", "0") == "1" else None)
+    run = make_segmented_solver(prob, opts, B, dtype=dtype,
+                                max_iter_schedule=sched,
+                                al_stall_rounds=stall, log=log)
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    t0 = time.perf_counter()
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    dt = time.perf_counter() - t0
+    n_conv = int(jnp.sum(res.converged))
+    v = n_conv / dt
+    out = {
+        "metric": ("acrobot joint-limits CONVERGED full iLQR solves/s "
+                   "(1 chip, segmented+fused, batch %d, %d/%d "
+                   "converged)" % (B, n_conv, B)),
+        "value": round(v, 3), "unit": "converged solves/s",
+        "vs_baseline": round(v / TARGET_PER_CHIP, 4),
+        "converged_frac": round(n_conv / B, 4),
+        "batch": B, "wall_s": round(dt, 1),
+        "mean_inner_iters": round(float(jnp.mean(res.iterations)), 1),
+        "mean_obj_converged": round(float(
+            jnp.sum(jnp.where(res.converged, res.objective, 0.0))
+            / jnp.maximum(jnp.sum(res.converged), 1)), 3),
+        "max_vio": round(float(jnp.max(res.constraint_violation)), 5),
+    }
+    ip_solves = (run.stats.get("sweep_lanes", 0)
+                 + run.stats.get("roll_lanes", 0)) * (prob.T - 1)
+    if n_conv:
+        out["ip_solves_per_converged"] = int(ip_solves / n_conv)
+    return out
+
+
 def variant_steps(B: int = 128):
     jax, on_tpu = _setup_jax()
     import jax.numpy as jnp
@@ -374,7 +427,7 @@ def main():
               "segmented": variant_segmented,
               "batched": variant_batched,
               "single": variant_single, "steps": variant_steps,
-              "push": variant_push}[name]
+              "push": variant_push, "acrobot": variant_acrobot}[name]
         print(json.dumps(fn()), flush=True)
         return
 

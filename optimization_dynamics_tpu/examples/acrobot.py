@@ -84,6 +84,51 @@ def build_problem(mode: str = "impact", kappa_grad: float = 1.0e-3,
     return prob, x0, us_init, opts
 
 
+def build_deploy_problem(on_tpu: bool, dtype=None, fused: bool = True):
+    """Deploy-tier acrobot-with-joint-limits swing-up at the reference
+    configuration (T=101, h=0.05, /root/reference/examples/acrobot.jl)
+    wired for the segmented executor: f32 IP tolerances at the chip
+    floor, fused Pallas lane-batched solves (nz=6 — well inside the
+    kernel's register budget), warm derivative sweeps + cold
+    line-search rollouts. con_tol relaxes 0.001 -> 0.01 on the f32
+    tier like the other deploy builders."""
+    import dataclasses
+
+    from optimization_dynamics_tpu.solver.interior_point import IPOptions
+
+    if dtype is None:
+        dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x0, us0, opts = build_problem("impact", dtype=dtype)
+    aux = acrobot.AcrobotAux(h=H)
+    if on_tpu:
+        ip = dict(r_tol=3.0e-5, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
+    else:
+        ip = dict(r_tol=1.0e-8, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
+        fused = False
+    dyn = make_implicit_dynamics(
+        acrobot.impact_model(),
+        eval_opts=IPOptions(**ip),
+        grad_opts=IPOptions(**ip),
+        fused=fused)
+    prob = prob._replace(
+        dynamics=lambda t, x, u: dyn.step(x, u, aux),
+        dynamics_jac=lambda t, x, u: dyn.step_jac(x, u, aux),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us, aux),
+        dynamics_batched=lambda t, xs, us: dyn.step_batched(xs, us, aux),
+        dynamics_carry=lambda t, x, u, z: dyn.step_carry(z, x, u, aux),
+        carry_init=dyn.carry_init,
+        dynamics_batched_ws=lambda t, xs, us, ws: dyn.step_batched_ws(
+            xs, us, aux, ws),
+        dynamics_jac_batched_ws=lambda ts, xs, us, wss:
+            dyn.step_jac_batched_ws(xs, us, aux, wss),
+        ws_init_batched=lambda t, xs, us: jax.vmap(dyn.carry_init)(xs),
+        ws_linesearch=False)
+    opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6,
+                               alpha_min=1.0e-2, grad_tol=1.0e-3)
+    return prob, x0, us0, opts
+
+
 def run(mode: str = "impact"):
     prob, x0, us_init, opts = build_problem(mode)
     res = jax.jit(lambda x, u: solve(prob, x, u, opts))(x0, us_init)
