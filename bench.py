@@ -151,6 +151,10 @@ def _run_segmented(fused: bool, B: int):
     pla = ({"device": "device", "1": True, "host": True}.get(pla_env,
                                                              False)
            if k == 1 else False)
+    if k > 1 and pla_env not in ("", "0"):
+        print("# WARNING: ODX_BENCH_PLA=%s ignored because "
+              "ODX_BENCH_K=%d > 1 (per-lane alpha needs the k=1 "
+              "cascade path)" % (pla_env, k), flush=True)
     # per-AL-round inner budgets (round-4 A/B winner, now the default):
     # early AL rounds polish a penalty surface that the next dual
     # update discards — capping them cut mean inner iterations 455.8
@@ -189,7 +193,9 @@ def _run_segmented(fused: bool, B: int):
     T = prob.T
     ip_solves = (run.stats.get("sweep_lanes", 0)
                  + run.stats.get("roll_lanes", 0)) * (T - 1)
-    if n_conv:
+    # the k>1 scan path records no sweep/roll counters — omit the
+    # accounting rather than reporting a silent ~0 (round-4 advisor)
+    if n_conv and ip_solves > 0:
         out["ip_solves_per_converged"] = int(ip_solves / n_conv)
     out["dispatched_inner_iters"] = run.stats.get("inner_iters", 0)
     return out
@@ -323,7 +329,7 @@ def variant_push(B: int = 64):
     }
     ip_solves = (run.stats.get("sweep_lanes", 0)
                  + run.stats.get("roll_lanes", 0)) * (prob.T - 1)
-    if n_conv:
+    if n_conv and ip_solves > 0:
         out["ip_solves_per_converged"] = int(ip_solves / n_conv)
     return out
 
@@ -376,7 +382,7 @@ def variant_acrobot(B: int = 64):
     }
     ip_solves = (run.stats.get("sweep_lanes", 0)
                  + run.stats.get("roll_lanes", 0)) * (prob.T - 1)
-    if n_conv:
+    if n_conv and ip_solves > 0:
         out["ip_solves_per_converged"] = int(ip_solves / n_conv)
     return out
 

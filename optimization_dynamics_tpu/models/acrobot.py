@@ -63,13 +63,17 @@ def _tau(p: AcrobotParams, q):
 
 
 def _coriolis(p: AcrobotParams, q, v):
-    s2 = jnp.sin(q[1])
-    c = jnp.array([
-        [-2.0 * p.m2 * p.l1 * p.lc2 * s2 * v[1],
-         -p.m2 * p.l1 * p.lc2 * s2 * v[1]],
-        [p.m2 * p.l1 * p.lc2 * s2 * v[0], 0.0],
+    # C(q,v) v written out in scalar form — NOT a 2x2 matmul: inside the
+    # fused Pallas kernel the vmap(jvp(dot_general)) chain this produces
+    # hits a Mosaic "infer-vector-layout: unsupported shape cast"
+    # (tpu.reshape 128x12 -> 128x6x2, logs/bench_r4_acrobot_run1.log);
+    # elementwise forms lower cleanly (same fix class as
+    # planar_push._matvec).
+    k = p.m2 * p.l1 * p.lc2 * jnp.sin(q[1])
+    return jnp.stack([
+        -2.0 * k * v[1] * v[0] - k * v[1] * v[1],
+        k * v[0] * v[0],
     ])
-    return c @ v
 
 
 def dynamics_bias(p: AcrobotParams, q, v):
@@ -113,7 +117,9 @@ def residual_impact(p: AcrobotParams, z, theta, kappa):
         lambda q, v: dynamics_bias(p, q, v),
         h, q0, q1, q2,
         control_force(u),
-        contact_force=limit_jacobian().T @ lam,
+        # J^T lam as multiply+reduce (dot-free for the Mosaic kernel
+        # path; see _coriolis)
+        contact_force=jnp.sum(limit_jacobian().T * lam[None, :], axis=1),
         damping=0.5,
     )
     return jnp.concatenate([

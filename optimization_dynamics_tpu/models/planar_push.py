@@ -95,8 +95,9 @@ def tangential_jacobian(q):
 
 def mass_diag(p: PlanarPushParams):
     """Diagonal of the (diagonal) mass matrix — applied elementwise."""
-    return jnp.asarray(np.array([p.mass_block, p.mass_block, p.inertia,
-                                 p.mass_pusher, p.mass_pusher]))
+    return jnp.stack([jnp.asarray(p.mass_block), jnp.asarray(p.mass_block),
+                      jnp.asarray(p.inertia), jnp.asarray(p.mass_pusher),
+                      jnp.asarray(p.mass_pusher)])
 
 
 def mass_matrix(p: PlanarPushParams):

@@ -48,7 +48,8 @@ from optimization_dynamics_tpu.solver.interior_point import (
     _row_masks,
 )
 
-__all__ = ["make_fused_ip_solver"]
+__all__ = ["make_fused_ip_solver", "make_ip_body", "lift_consts",
+           "unpack_consts", "pick_lanes"]
 
 LANES = 128
 _BIG = 1e12
@@ -89,18 +90,58 @@ def _soc_alpha(z_g, d_g):
     return jnp.minimum(root, a_axis)
 
 
-def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
-                         opts: IPOptions,
-                         interpret: bool = False,
-                         early_exit: bool = True) -> Callable:
-    """Build ``solve(z0s (B, nz), thetas (B, ntheta)) -> IPSolution``.
 
-    Drop-in for ``make_solver_batched`` (f32; geometric schedule). B is
-    padded to a multiple of 128 internally; each 128-lane block is one
-    grid step of the fused kernel.
+def pick_lanes(nz: int, lanes: int | None) -> int:
+    """Scenario lanes per kernel grid step. Default 128 (one full vreg
+    lane dim); 32 for nz > 24 — the register pressure of the
+    jacfwd-unrolled Jacobian + QR chain scales ~ nz^2 x lanes, and at
+    nz=35 x 128 lanes the Mosaic register allocator spills 167 MB of
+    scoped VMEM against the 128 MB cap (logs/push_kernel_compile2.log;
+    docs/DESIGN.md 4b)."""
+    return int(lanes) if lanes is not None else (LANES if nz <= 24
+                                                 else 32)
+
+
+def lift_consts(closed):
+    """Pallas forbids captured array constants: convert a closed jaxpr's
+    consts into kernel-input descriptors ``(array, kind, orig_shape)``.
+    Bools travel as i32; 0/1-D consts are reshaped >=2-D."""
+    consts_in = []
+    for c in [np.asarray(c) for c in closed.consts]:
+        kind = ("bool" if c.dtype == np.bool_ else "num")
+        arr = c.astype(np.int32) if kind == "bool" else c
+        shp = arr.shape
+        if arr.ndim == 0:
+            arr = arr.reshape(1, 1)
+        elif arr.ndim == 1:
+            arr = arr.reshape(1, -1)
+        consts_in.append((jnp.asarray(arr), kind, shp))
+    return consts_in
+
+
+def unpack_consts(const_refs, consts_in):
+    """Kernel-side inverse of ``lift_consts``."""
+    cvals = []
+    for r, (_, kind, shp) in zip(const_refs, consts_in):
+        v = r[...].reshape(shp)
+        if kind == "bool":
+            v = v.astype(jnp.bool_)
+        cvals.append(v)
+    return cvals
+
+
+def make_ip_body(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
+                 early_exit: bool = True) -> Callable:
+    """Build the pure batch-last IP-solve body used inside Pallas kernels.
+
+    Returns ``body(z0 (nz, L), theta (nth, L)) -> (z, stats (4, L))`` —
+    plain JAX on batch-last blocks, safe to trace into a kernel jaxpr
+    (``make_fused_ip_solver``) or compose into larger fused kernels
+    (``fused_rollout``). Stats rows: iterations, converged, r_vio,
+    kappa_vio.
     """
     spec.validate()
-    nz, nth = spec.nz, spec.ntheta
+    nz = spec.nz
     has_cones = bool(spec.ort_prim) or bool(spec.soc_prim)
     kappa_final = opts.kappa_final_frac * opts.kappa_tol
     kappa_lo = max(kappa_final, opts.kappa_init_min) if has_cones \
@@ -258,37 +299,47 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
         stats = jnp.concatenate([it, conv_mask(r0), rv, kv], axis=0)
         return z, stats
 
+    return _body
+
+def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
+                         opts: IPOptions,
+                         interpret: bool = False,
+                         early_exit: bool = True,
+                         lanes: int | None = None) -> Callable:
+    """Build ``solve(z0s (B, nz), thetas (B, ntheta)) -> IPSolution``.
+
+    Drop-in for ``make_solver_batched`` (f32; geometric schedule). B is
+    padded to a multiple of ``lanes`` internally; each lane block is one
+    grid step of the fused kernel.
+
+    ``lanes``: scenario lanes per grid step. Default 128 (one full vreg
+    lane dim) for small systems; 32 for nz > 24 — the register pressure
+    of the jacfwd-unrolled Jacobian + QR chain scales ~ nz^2 x lanes,
+    and at nz=35 x 128 lanes the Mosaic register allocator spills
+    167 MB of scoped VMEM against the 128 MB cap
+    (logs/push_kernel_compile2.log; docs/DESIGN.md 4b). Narrow blocks
+    waste 3/4 of each vreg's lane dim but actually compile.
+    """
+    spec.validate()
+    nz, nth = spec.nz, spec.ntheta
+    L_BLK = pick_lanes(nz, lanes)
+    _body = make_ip_body(residual_fn, spec, opts, early_exit=early_exit)
+
     # ---- const lifting: trace once, thread constants as kernel inputs.
     # Traced with x64 disabled: the kernel pipeline is f32 by design, and
     # model residuals create default-dtype constants that would otherwise
     # promote the carry to f64 under x64 test configs.
-    z_aval = jax.ShapeDtypeStruct((nz, LANES), jnp.float32)
-    th_aval = jax.ShapeDtypeStruct((nth, LANES), jnp.float32)
+    z_aval = jax.ShapeDtypeStruct((nz, L_BLK), jnp.float32)
+    th_aval = jax.ShapeDtypeStruct((nth, L_BLK), jnp.float32)
     with jax.enable_x64(False):
         closed = jax.make_jaxpr(_body)(z_aval, th_aval)
-    consts = [np.asarray(c) for c in closed.consts]
-    # bools/scalars/1-D consts travel as >=2-D numeric arrays
-    consts_in = []
-    for c in consts:
-        kind = ("bool" if c.dtype == np.bool_ else "num")
-        arr = c.astype(np.int32) if kind == "bool" else c
-        shp = arr.shape
-        if arr.ndim == 0:
-            arr = arr.reshape(1, 1)
-        elif arr.ndim == 1:
-            arr = arr.reshape(1, -1)
-        consts_in.append((jnp.asarray(arr), kind, shp))
+    consts_in = lift_consts(closed)
     n_c = len(consts_in)
 
     def _kernel(*refs):
         const_refs = refs[:n_c]
         z0_ref, th_ref, z_ref, stats_ref = refs[n_c:]
-        cvals = []
-        for r, (_, kind, shp) in zip(const_refs, consts_in):
-            v = r[...].reshape(shp)
-            if kind == "bool":
-                v = v.astype(jnp.bool_)
-            cvals.append(v)
+        cvals = unpack_consts(const_refs, consts_in)
         z, stats = jax.core.eval_jaxpr(
             closed.jaxpr, cvals, z0_ref[...], th_ref[...])
         z_ref[...] = z
@@ -297,7 +348,7 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
     @jax.jit
     def solve(z0s: jnp.ndarray, thetas: jnp.ndarray) -> IPSolution:
         B = z0s.shape[0]
-        Bp = ((B + LANES - 1) // LANES) * LANES
+        Bp = ((B + L_BLK - 1) // L_BLK) * L_BLK
         pad = Bp - B
         if pad:
             z0s = jnp.concatenate(
@@ -307,7 +358,7 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
         zt = jnp.moveaxis(z0s.astype(jnp.float32), 0, -1)      # (nz, Bp)
         tht = jnp.moveaxis(thetas.astype(jnp.float32), 0, -1)  # (nth, Bp)
 
-        grid = (Bp // LANES,)
+        grid = (Bp // L_BLK,)
         const_specs = [
             pl.BlockSpec(c.shape, (lambda i, nd=c.ndim: (0,) * nd),
                          memory_space=pltpu.VMEM)
@@ -321,15 +372,15 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
             ],
             grid=grid,
             in_specs=const_specs + [
-                pl.BlockSpec((nz, LANES), lambda i: (0, i),
+                pl.BlockSpec((nz, L_BLK), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((nth, LANES), lambda i: (0, i),
+                pl.BlockSpec((nth, L_BLK), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((nz, LANES), lambda i: (0, i),
+                pl.BlockSpec((nz, L_BLK), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, LANES), lambda i: (0, i),
+                pl.BlockSpec((4, L_BLK), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             # the unrolled QR + jacfwd chain peaks slightly above the

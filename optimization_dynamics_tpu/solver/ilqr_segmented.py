@@ -213,8 +213,9 @@ def make_segmented_solver(prob: ILQRProblem, opts: ILQROptions, B: int,
     # lane has accepted, first-accepts merged — decision-identical to
     # the full grid (ilqr_batched.py cascade comment), worst-case
     # rollout work equal to ONE full grid. The slices are disjoint, so
-    # unlike the probe-era staging there is no overlap cost to trim:
-    # ``mid_ls`` is accepted for signature compatibility and ignored.
+    # unlike the probe-era staging there is no overlap cost to trim
+    # (the probe-era ``mid_ls`` parameter was removed; passing it now
+    # raises TypeError by design).
     cascade = two_stage_ls and k == 1
     adaptive_dev = per_lane_alpha == "device" and k == 1
     adaptive = (per_lane_alpha and not adaptive_dev) and cascade
