@@ -91,10 +91,16 @@ def _setup_jax():
 def _build(on_tpu: bool, dtype, fused: bool = True):
     """Deploy-tier problem — lives in the package now (VERDICT r3 #7:
     the benched configuration must be reachable from the user-facing
-    API): ``examples.cartpole.build_deploy_problem``."""
+    API): ``examples.cartpole.build_deploy_problem``.
+
+    ODX_BENCH_FROLL=1 enables the whole-rollout fused kernel (round 5,
+    ops/pallas/fused_rollout.py): every line-search/open rollout is ONE
+    Pallas launch instead of a scan of per-step launches + glue."""
     from optimization_dynamics_tpu.examples import cartpole as ex
 
-    return ex.build_deploy_problem(on_tpu, dtype=dtype, fused=fused)
+    froll = os.environ.get("ODX_BENCH_FROLL", "0") == "1"
+    return ex.build_deploy_problem(on_tpu, dtype=dtype, fused=fused,
+                                   fused_rollout=froll)
 
 
 def _x0s(jax, jnp, x0, B, dtype):

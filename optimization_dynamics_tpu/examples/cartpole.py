@@ -83,7 +83,8 @@ def build_problem(mode: str = "friction", friction=(0.35, 0.35),
 
 
 def build_deploy_problem(on_tpu: bool, dtype=None, fused: bool = True,
-                         friction=(0.35, 0.35)):
+                         friction=(0.35, 0.35),
+                         fused_rollout: bool = False):
     """The DEPLOY-tier problem: the configuration bench.py measures,
     reachable from the user-facing API (VERDICT r3 #7).
 
@@ -139,6 +140,14 @@ def build_deploy_problem(on_tpu: bool, dtype=None, fused: bool = True,
     # 8-candidate Armijo grid (alpha_min 1e-2) — plenty at con_tol 0.01
     opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6,
                                alpha_min=1.0e-2)
+    if fused_rollout and fused and on_tpu:
+        # whole-rollout fused kernel: T-1 feedback+IP steps per Pallas
+        # launch instead of a scan of per-step launches + glue
+        # (ops/pallas/fused_rollout.py; A/B-gated in bench.py)
+        from optimization_dynamics_tpu.ops.pallas.fused_rollout import (
+            make_fused_rollout)
+        prob = prob._replace(rollout_fused=make_fused_rollout(
+            model, IPOptions(**ip), aux, T))
     return prob, x0, us0, opts
 
 

@@ -147,6 +147,13 @@ class ILQRProblem(NamedTuple):
     # slowly, and ``kappa_init_min`` restores a short central-path
     # continuation. Only read when ``ws_linesearch`` is False.
     ws_carry: bool = False
+    # whole-rollout fused Pallas kernel (ops/pallas/fused_rollout.py):
+    # ``(x0s, xss_ref, uss_ref, Kss, kss, alphas) -> (xss, uss, wss)``.
+    # When set, make_phases' closed-loop and open-loop rollouts run as
+    # ONE kernel launch instead of a scan of per-step launches + glue.
+    # Requires the cold line-search policy (ws_linesearch=False, no
+    # ws_carry) — the kernel re-inits each step from init_z(q1).
+    rollout_fused: Optional[Callable] = None
 
 
 class ILQRResult(NamedTuple):

@@ -172,6 +172,41 @@ def make_phases(prob: ILQRProblem, opts: ILQROptions, B: int,
         return (xss, jnp.swapaxes(uss, 0, 1), Js,
                 jnp.swapaxes(wss_new, 0, 1))
 
+    # ------------------------------------------------------------------
+    # Whole-rollout fused kernel (round 5): when the problem carries a
+    # ``rollout_fused`` kernel (ops/pallas/fused_rollout.py), both
+    # rollouts run as ONE Pallas launch — the round-4 budget measured
+    # the scan-of-(kernel+glue) rollout at ~0.94 ms per 128-lane block
+    # STEP with the kernel compute a small fraction of that; the fused
+    # rollout pays the launch + glue once per rollout instead of once
+    # per step. Costs are accumulated afterwards by ``traj_cost`` over
+    # the returned trajectory (one vmapped program) — identical math to
+    # the scan's in-carry accumulation.
+    # ------------------------------------------------------------------
+    if prob.rollout_fused is not None:
+        assert not prob.ws_linesearch and not prob.ws_carry, (
+            "rollout_fused implements the COLD line-search policy "
+            "(per-step init_z warm starts); disable ws_linesearch/"
+            "ws_carry")
+        _fused_roll = prob.rollout_fused
+
+        def closed_loop(xss_ref, uss_ref, Kss, kss, alphas, lams, lamTs,
+                        rhos, wss):
+            xss, uss, wss_new = _fused_roll(
+                xss_ref[:, 0], xss_ref, uss_ref, Kss, kss, alphas)
+            Js = traj_cost(xss, uss, lams, lamTs, rhos)
+            return xss, uss, Js, wss_new
+
+        def rollout_open(x0s, uss):
+            Bw = x0s.shape[0]
+            zeros = jnp.zeros
+            xss, _, wss = _fused_roll(
+                x0s, zeros((Bw, T, nx), x0s.dtype), uss,
+                zeros((Bw, T - 1, nu, nx), x0s.dtype),
+                zeros((Bw, T - 1, nu), x0s.dtype),
+                zeros((Bw,), x0s.dtype))
+            return xss, wss
+
     def derivatives(xss, uss, lams, lamTs, rhos, wss):
         flat_x = xss[:, :-1].reshape(B * (T - 1), nx)
         flat_u = uss.reshape(B * (T - 1), nu)
