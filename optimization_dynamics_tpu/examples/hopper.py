@@ -194,6 +194,109 @@ def build_problem(gait: int = 1, dtype=jnp.float64):
     return prob, x0, us0, opts
 
 
+def build_deploy_problem(on_tpu: bool, gait: int = 1, dtype=None):
+    """Deploy-tier hopper gait problem (VERDICT r4 #4): the
+    state-augmented parameter-opt program wired for ``solve_batched``
+    and the segmented executor.
+
+    The scalar path dispatches on ``t == 0`` with ``lax.cond``
+    (hopper.jl:52-162's two dynamics); the batched derivative sweep
+    flattens ALL timesteps into one lane batch where t varies per row,
+    so the branches are unified instead: both solve the same
+    ``step(x8_eff, u2)`` with ``x8_eff = where(t==0, u[2:10], x[0:8])``
+    — ONE batched IP solve serves the mixed-t sweep, and the
+    first-step/pass-through Jacobian blocks are assembled per row with
+    ``where`` masks.
+    """
+    import dataclasses
+
+    if dtype is None:
+        dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x0, us0, opts = build_problem(gait, dtype=dtype)
+    params = hp.HopperParams()
+    aux = hp.HopperAux(h=H)
+    from optimization_dynamics_tpu.solver.interior_point import IPOptions
+    if on_tpu:
+        ip = dict(r_tol=3.0e-5, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
+        dyn = make_implicit_dynamics(hp.model(params),
+                                     eval_opts=IPOptions(**ip),
+                                     grad_opts=IPOptions(**ip))
+    else:
+        # reference tolerances (build_problem parity: kappa_eval 1e-4,
+        # kappa_grad 1e-3, r_tol 1e-8)
+        dyn = make_implicit_dynamics(hp.model(params), r_tol=1.0e-8,
+                                     kappa_eval_tol=1.0e-4,
+                                     kappa_grad_tol=1.0e-3)
+    eye8 = jnp.eye(8, dtype=dtype)
+
+    def _x8_eff(t, xs, us):
+        first = (t == 0)
+        if jnp.ndim(first) == 0:
+            first = jnp.broadcast_to(first, (xs.shape[0],))
+        return jnp.where(first[:, None], us[:, 2:10], xs[:, 0:8]), first
+
+    def _assemble_y(first, ys8, xs, us):
+        thetas = jnp.where(first[:, None], us[:, 2:10], xs[:, 8:16])
+        return jnp.concatenate([ys8, thetas], axis=1)
+
+    def dynamics_batched(t, xs, us):
+        x8, first = _x8_eff(t, xs, us)
+        ys8 = dyn.step_batched(x8, us[:, 0:2], aux)
+        return _assemble_y(first, ys8, xs, us)
+
+    def dynamics_batched_ws(t, xs, us, ws):
+        x8, first = _x8_eff(t, xs, us)
+        ys8, zs = dyn.step_batched_ws(x8, us[:, 0:2], aux, ws)
+        return _assemble_y(first, ys8, xs, us), zs
+
+    def ws_init_batched(t, xs, us):
+        x8, _ = _x8_eff(t, xs, us)
+        return jax.vmap(dyn.carry_init)(x8)
+
+    def _assemble_jac(first, ys8, fx8, fu8, xs, us):
+        B = xs.shape[0]
+        ys = _assemble_y(first, ys8, xs, us)
+        f = first[:, None, None]
+        fx = jnp.zeros((B, NX, NX), dtype)
+        # rest: fx[0:8,0:8] = fx8, fx[8:16,8:16] = I; first: fx = 0
+        fx = fx.at[:, 0:8, 0:8].set(jnp.where(f, 0.0, fx8))
+        fx = fx.at[:, 8:16, 8:16].set(jnp.where(f, 0.0, eye8[None]))
+        fu = jnp.zeros((B, NX, NU), dtype)
+        fu = fu.at[:, 0:8, 0:2].set(fu8)
+        # first: d y8/d theta = fx8 lands in u-cols; theta pass-through
+        fu = fu.at[:, 0:8, 2:10].set(jnp.where(f, fx8, 0.0))
+        fu = fu.at[:, 8:16, 2:10].set(jnp.where(f, eye8[None], 0.0))
+        return ys, fx, fu
+
+    def dynamics_jac_batched(ts, xs, us):
+        x8, first = _x8_eff(ts, xs, us)
+        ys8, fx8, fu8 = dyn.step_jac_batched(x8, us[:, 0:2], aux)
+        return _assemble_jac(first, ys8, fx8, fu8, xs, us)
+
+    def dynamics_jac_batched_ws(ts, xs, us, wss):
+        x8, first = _x8_eff(ts, xs, us)
+        ys8, fx8, fu8, zs = dyn.step_jac_batched_ws(x8, us[:, 0:2],
+                                                    aux, wss)
+        ys, fx, fu = _assemble_jac(first, ys8, fx8, fu8, xs, us)
+        return ys, fx, fu, zs
+
+    prob = prob._replace(
+        dynamics=lambda t, x, u: dynamics_batched(
+            t, x[None], u[None])[0],
+        dynamics_jac=lambda t, x, u: jax.tree_util.tree_map(
+            lambda a: a[0], dynamics_jac_batched(t, x[None], u[None])),
+        dynamics_batched=dynamics_batched,
+        dynamics_batched_ws=dynamics_batched_ws,
+        dynamics_jac_batched=dynamics_jac_batched,
+        dynamics_jac_batched_ws=dynamics_jac_batched_ws,
+        ws_init_batched=ws_init_batched,
+        ws_linesearch=False)
+    if on_tpu:
+        opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6,
+                                   alpha_min=1.0e-2)
+    return prob, x0, us0.astype(dtype), opts
+
+
 def run(gait: int = 1):
     prob, x0, us_init, opts = build_problem(gait)
     res = jax.jit(lambda x, u: solve(prob, x, u, opts))(x0, us_init)

@@ -145,6 +145,46 @@ def build_problem(mode: str = "projection", dtype=jnp.float64):
     return prob, x1, us_init, opts, dyn
 
 
+def build_deploy_problem(on_tpu: bool, mode: str = "projection",
+                         dtype=None):
+    """Deploy-tier rocket problem (VERDICT r4 #4): the reference
+    configuration with the lane-batched two-IP step (cold SOC
+    projection chained into the warm-startable implicit-midpoint
+    solve, models/rocket.py) wired for ``solve_batched`` and the
+    segmented executor. On TPU the IP tolerance sits at the f32 floor
+    and con_tol relaxes to 0.01 (the same deploy numerics as
+    cartpole/planar push)."""
+    import dataclasses
+
+    if dtype is None:
+        dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x1, us0, opts, _ = build_problem(mode, dtype=dtype)
+    params = rocket.RocketParams()
+    r_tol = 3.0e-5 if on_tpu else 1.0e-8
+    dyn = rocket.make_rocket_dynamics(
+        params, u_max=U_MAX, h=H, projection=(mode == "projection"),
+        r_tol=r_tol, proj_kappa_tol=1.0e-4)
+    prob = prob._replace(
+        dynamics=lambda t, x, u: dyn.step(x, u),
+        dynamics_jac=lambda t, x, u: dyn.step_jac(x, u),
+        dynamics_batched=lambda t, xs, us: dyn.step_batched(xs, us),
+        dynamics_jac_batched=lambda ts, xs, us: dyn.step_jac_batched(
+            xs, us),
+        dynamics_batched_ws=lambda t, xs, us, ws: dyn.step_batched_ws(
+            xs, us, ws),
+        dynamics_jac_batched_ws=lambda ts, xs, us, wss:
+            dyn.step_jac_batched_ws(xs, us, wss),
+        ws_init_batched=lambda t, xs, us: dyn.ws_init_batched(xs),
+        # cold line-search rollouts (deploy policy; the implicit
+        # midpoint has no complementarity branches, but y=x inits are
+        # already ~1 Newton step from the solution)
+        ws_linesearch=False)
+    if on_tpu:
+        opts = dataclasses.replace(opts, con_tol=0.01, rho_max=1.0e6,
+                                   alpha_min=1.0e-2)
+    return prob, x1, us0.astype(dtype), opts
+
+
 def run(mode: str = "projection"):
     prob, x1, us_init, opts, dyn = build_problem(mode)
     res = jax.jit(lambda x, u: solve(prob, x, u, opts))(x1, us_init)

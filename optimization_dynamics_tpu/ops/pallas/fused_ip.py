@@ -345,6 +345,19 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
         z_ref[...] = z
         stats_ref[...] = stats
 
+    def _kernel3(*refs):
+        # narrow-lane variant: blocks are (1, nz, L_BLK) slices of a
+        # (nb, nz, L_BLK) array — Pallas requires the last two block
+        # dims be 128-divisible OR equal the array dims, so sub-128
+        # lane blocks ride a leading grid dimension instead
+        const_refs = refs[:n_c]
+        z0_ref, th_ref, z_ref, stats_ref = refs[n_c:]
+        cvals = unpack_consts(const_refs, consts_in)
+        z, stats = jax.core.eval_jaxpr(
+            closed.jaxpr, cvals, z0_ref[0], th_ref[0])
+        z_ref[0] = z
+        stats_ref[0] = stats
+
     @jax.jit
     def solve(z0s: jnp.ndarray, thetas: jnp.ndarray) -> IPSolution:
         B = z0s.shape[0]
@@ -355,43 +368,76 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
                 [z0s, jnp.broadcast_to(z0s[:1], (pad, nz))], axis=0)
             thetas = jnp.concatenate(
                 [thetas, jnp.broadcast_to(thetas[:1], (pad, nth))], axis=0)
-        zt = jnp.moveaxis(z0s.astype(jnp.float32), 0, -1)      # (nz, Bp)
-        tht = jnp.moveaxis(thetas.astype(jnp.float32), 0, -1)  # (nth, Bp)
-
-        grid = (Bp // L_BLK,)
+        nb = Bp // L_BLK
         const_specs = [
             pl.BlockSpec(c.shape, (lambda i, nd=c.ndim: (0,) * nd),
                          memory_space=pltpu.VMEM)
             for c, _, _ in consts_in
         ]
-        z_out, stats = pl.pallas_call(
-            _kernel,
-            out_shape=[
-                jax.ShapeDtypeStruct((nz, Bp), jnp.float32),
-                jax.ShapeDtypeStruct((4, Bp), jnp.float32),
-            ],
-            grid=grid,
-            in_specs=const_specs + [
-                pl.BlockSpec((nz, L_BLK), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nth, L_BLK), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((nz, L_BLK), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, L_BLK), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            # the unrolled QR + jacfwd chain peaks slightly above the
-            # 16 MB default scoped-vmem budget at nz ~ 10; the kernel's
-            # true working set is tiny, so raise the cap
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
-            interpret=interpret,
-        )(*[c for c, _, _ in consts_in], zt, tht)
-        z = jnp.moveaxis(z_out, -1, 0)[:B]
-        stats = jnp.moveaxis(stats, -1, 0)[:B]
+        # the unrolled QR + jacfwd chain peaks slightly above the
+        # 16 MB default scoped-vmem budget at nz ~ 10; the kernel's
+        # true working set is tiny, so raise the cap
+        cparams = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+        if L_BLK == LANES:
+            zt = jnp.moveaxis(z0s.astype(jnp.float32), 0, -1)   # (nz,Bp)
+            tht = jnp.moveaxis(thetas.astype(jnp.float32), 0, -1)
+            z_out, stats = pl.pallas_call(
+                _kernel,
+                out_shape=[
+                    jax.ShapeDtypeStruct((nz, Bp), jnp.float32),
+                    jax.ShapeDtypeStruct((4, Bp), jnp.float32),
+                ],
+                grid=(nb,),
+                in_specs=const_specs + [
+                    pl.BlockSpec((nz, L_BLK), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nth, L_BLK), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((nz, L_BLK), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((4, L_BLK), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                compiler_params=cparams,
+                interpret=interpret,
+            )(*[c for c, _, _ in consts_in], zt, tht)
+            z = jnp.moveaxis(z_out, -1, 0)[:B]
+            stats = jnp.moveaxis(stats, -1, 0)[:B]
+        else:
+            # narrow-lane path: lane blocks < 128 are illegal as
+            # lane-dim BlockSpecs — group lanes on a leading grid dim
+            # so each block's last two dims equal the array dims
+            z3 = jnp.swapaxes(
+                z0s.astype(jnp.float32).reshape(nb, L_BLK, nz), 1, 2)
+            th3 = jnp.swapaxes(
+                thetas.astype(jnp.float32).reshape(nb, L_BLK, nth), 1, 2)
+            z_out, stats = pl.pallas_call(
+                _kernel3,
+                out_shape=[
+                    jax.ShapeDtypeStruct((nb, nz, L_BLK), jnp.float32),
+                    jax.ShapeDtypeStruct((nb, 4, L_BLK), jnp.float32),
+                ],
+                grid=(nb,),
+                in_specs=const_specs + [
+                    pl.BlockSpec((1, nz, L_BLK), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, nth, L_BLK), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, nz, L_BLK), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 4, L_BLK), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                compiler_params=cparams,
+                interpret=interpret,
+            )(*[c for c, _, _ in consts_in], z3, th3)
+            z = jnp.swapaxes(z_out, 1, 2).reshape(Bp, nz)[:B]
+            stats = jnp.swapaxes(stats, 1, 2).reshape(Bp, 4)[:B]
         return IPSolution(
             z=z,
             iterations=stats[:, 0].astype(jnp.int32),
