@@ -393,6 +393,115 @@ def variant_acrobot(B: int = 64):
     return out
 
 
+def variant_rocket(B: int = 32):
+    """Rocket soft landing at the reference config (T=61, h=0.05,
+    /root/reference/examples/rocket.jl) through the segmented executor:
+    two chained IP solves per step (cold SOC thrust projection +
+    implicit midpoint, XLA batched-native phases). Worker:
+    `python bench.py rocket`; also appended to the driver tail."""
+    jax, on_tpu = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+    from optimization_dynamics_tpu.examples import rocket as exr
+    from optimization_dynamics_tpu.solver.ilqr_segmented import (
+        make_segmented_solver)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x1, us0, opts = exr.build_deploy_problem(on_tpu, dtype=dtype)
+    if not on_tpu:
+        B = 4
+    key = jax.random.PRNGKey(0)
+    # scenario axis: initial position/velocity scatter (keeps attitude)
+    delta = jnp.zeros((B, 12), dtype)
+    delta = delta.at[:, 0:3].set(
+        0.1 * jax.random.normal(key, (B, 3), dtype))
+    delta = delta.at[:, 6:9].set(
+        0.05 * jax.random.normal(jax.random.fold_in(key, 1), (B, 3),
+                                 dtype))
+    x0s = jnp.tile(x1.astype(dtype), (B, 1)) + delta
+    stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
+    log = ((lambda s: print("# " + s, flush=True))
+           if os.environ.get("ODX_BENCH_LOG", "0") == "1" else None)
+    run = make_segmented_solver(prob, opts, B, dtype=dtype,
+                                al_stall_rounds=stall, log=log)
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    t0 = time.perf_counter()
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    dt = time.perf_counter() - t0
+    n_conv = int(jnp.sum(res.converged))
+    v = n_conv / dt
+    out = {
+        "metric": ("rocket soft-landing CONVERGED full iLQR solves/s "
+                   "(1 chip, segmented+xla 2-IP step, batch %d, %d/%d "
+                   "converged)" % (B, n_conv, B)),
+        "value": round(v, 3), "unit": "converged solves/s",
+        "vs_baseline": round(v / TARGET_PER_CHIP, 4),
+        "converged_frac": round(n_conv / B, 4),
+        "batch": B, "wall_s": round(dt, 1),
+        "mean_inner_iters": round(float(jnp.mean(res.iterations)), 1),
+        "max_vio": round(float(jnp.max(res.constraint_violation)), 5),
+    }
+    ip_solves = (run.stats.get("sweep_lanes", 0)
+                 + run.stats.get("roll_lanes", 0)) * (prob.T - 1)
+    if n_conv and ip_solves > 0:
+        # x2: each rollout step is TWO IP solves (projection + dynamics)
+        out["ip_solves_per_converged"] = int(2 * ip_solves / n_conv)
+    return out
+
+
+def variant_hopper(B: int = 32):
+    """Hopper gait generation at the reference config (T=21, gait 1,
+    /root/reference/examples/hopper.jl) through the segmented executor:
+    the state-augmented parameter-opt program (nz=20 contact IP per
+    step). Worker: `python bench.py hopper`."""
+    jax, on_tpu = _setup_jax()
+    import jax.numpy as jnp
+    from optimization_dynamics_tpu.examples import hopper as exh
+    from optimization_dynamics_tpu.solver.ilqr_segmented import (
+        make_segmented_solver)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    prob, x0, us0, opts = exh.build_deploy_problem(on_tpu, gait=1,
+                                                   dtype=dtype)
+    if not on_tpu:
+        B = 2
+    key = jax.random.PRNGKey(0)
+    # scenario axis: perturb the (co-optimized) initial configuration
+    # guess via x0 — the problem re-optimizes it, so this scatters the
+    # optimizer's starting point rather than the constraint data
+    x0s = (jnp.tile(x0.astype(dtype), (B, 1))
+           + 0.005 * jax.random.normal(key, (B, x0.shape[0]), dtype))
+    stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
+    log = ((lambda s: print("# " + s, flush=True))
+           if os.environ.get("ODX_BENCH_LOG", "0") == "1" else None)
+    run = make_segmented_solver(prob, opts, B, dtype=dtype,
+                                al_stall_rounds=stall, log=log)
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    t0 = time.perf_counter()
+    res = run(x0s, us0.astype(dtype))
+    jax.block_until_ready(res.xs)
+    dt = time.perf_counter() - t0
+    n_conv = int(jnp.sum(res.converged))
+    v = n_conv / dt
+    out = {
+        "metric": ("hopper gait-1 CONVERGED full iLQR solves/s "
+                   "(1 chip, segmented+xla, batch %d, %d/%d converged)"
+                   % (B, n_conv, B)),
+        "value": round(v, 3), "unit": "converged solves/s",
+        "vs_baseline": round(v / TARGET_PER_CHIP, 4),
+        "converged_frac": round(n_conv / B, 4),
+        "batch": B, "wall_s": round(dt, 1),
+        "mean_inner_iters": round(float(jnp.mean(res.iterations)), 1),
+        "max_vio": round(float(jnp.max(res.constraint_violation)), 5),
+    }
+    ip_solves = (run.stats.get("sweep_lanes", 0)
+                 + run.stats.get("roll_lanes", 0)) * (prob.T - 1)
+    if n_conv and ip_solves > 0:
+        out["ip_solves_per_converged"] = int(ip_solves / n_conv)
+    return out
+
+
 def variant_steps(B: int = 128):
     jax, on_tpu = _setup_jax()
     import jax.numpy as jnp
@@ -430,6 +539,12 @@ def variant_steps(B: int = 128):
 
 
 VARIANTS = ["segmented_fused", "segmented", "batched", "single", "steps"]
+# per-system worker lines appended to the driver tail AFTER the
+# headline succeeds (VERDICT r4 #7: one JSON line per system); each in
+# its own subprocess, bounded by the remaining deadline. The headline
+# JSON stays the LAST line of output (the driver parses the last line).
+EXTRA_SYSTEMS = ["push", "acrobot", "rocket", "hopper"]
+WORKERS = {}
 
 
 def main():
@@ -439,7 +554,8 @@ def main():
               "segmented": variant_segmented,
               "batched": variant_batched,
               "single": variant_single, "steps": variant_steps,
-              "push": variant_push, "acrobot": variant_acrobot}[name]
+              "push": variant_push, "acrobot": variant_acrobot,
+              "rocket": variant_rocket, "hopper": variant_hopper}[name]
         print(json.dumps(fn()), flush=True)
         return
 
@@ -458,8 +574,36 @@ def main():
     def note(msg):
         print("# " + msg, flush=True)
 
+    def run_worker(name, budget):
+        """Run one worker subprocess; return (parsed_json_or_None,
+        err_snippet)."""
+        t0 = time.monotonic()
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                capture_output=True, text=True, timeout=budget, env=env)
+        except subprocess.TimeoutExpired:
+            note("variant %s timed out after %.0fs" % (name, budget))
+            return None, f"variant {name} timed out"
+        parsed = None
+        for line in out.stdout.strip().splitlines()[::-1]:
+            line = line.strip()
+            if line.startswith("{"):
+                parsed = json.loads(line)
+                break
+        if parsed is None:
+            note("variant %s produced no result (rc=%d): %s"
+                 % (name, out.returncode,
+                    (out.stderr or "")[-200:].replace("\n", " ")))
+            return None, out.stderr[-300:]
+        note("variant %s done in %.0fs: value=%s conv=%s"
+             % (name, time.monotonic() - t0, parsed.get("value"),
+                parsed.get("converged_frac")))
+        return parsed, None
+
     last_err = None
     best_gated = None            # completed but < CONV_GATE converged
+    headline = None
     for name in VARIANTS:
         remaining = deadline - (time.monotonic() - t_start)
         if remaining < 120.0:
@@ -467,35 +611,35 @@ def main():
             break
         budget = min(per_variant, remaining)
         note("variant %s starting (budget %.0fs)" % (name, budget))
-        try:
-            t0 = time.monotonic()
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), name],
-                capture_output=True, text=True, timeout=budget, env=env)
-            parsed = None
-            for line in out.stdout.strip().splitlines()[::-1]:
-                line = line.strip()
-                if line.startswith("{"):
-                    parsed = json.loads(line)
-                    break
-            if parsed is None:
-                last_err = out.stderr[-300:]
-                note("variant %s produced no result (rc=%d): %s"
-                     % (name, out.returncode,
-                        (out.stderr or "")[-200:].replace("\n", " ")))
-                continue
-            note("variant %s done in %.0fs: value=%s conv=%s"
-                 % (name, time.monotonic() - t0, parsed.get("value"),
-                    parsed.get("converged_frac")))
-            if parsed.get("converged_frac", 0.0) >= CONV_GATE:
+        parsed, err = run_worker(name, budget)
+        if parsed is None:
+            last_err = err
+            continue
+        if parsed.get("converged_frac", 0.0) >= CONV_GATE:
+            headline = parsed
+            break
+        if (best_gated is None
+                or parsed.get("value", 0) > best_gated.get("value", 0)):
+            best_gated = parsed
+
+    if headline is not None:
+        # per-system tail lines (VERDICT r4 #7): each extra system in
+        # its own subprocess within the remaining deadline, its JSON
+        # printed BEFORE the headline (the driver parses the LAST line)
+        for name in EXTRA_SYSTEMS:
+            remaining = deadline - (time.monotonic() - t_start)
+            if remaining < 180.0:
+                note("deadline: skipping remaining per-system lines")
+                break
+            budget = min(float(os.environ.get(
+                "ODX_BENCH_EXTRA_TIMEOUT_S", "600")), remaining - 60.0)
+            note("extra system %s starting (budget %.0fs)"
+                 % (name, budget))
+            parsed, _ = run_worker(name, budget)
+            if parsed is not None:
                 print(json.dumps(parsed), flush=True)
-                return
-            if (best_gated is None
-                    or parsed.get("value", 0) > best_gated.get("value", 0)):
-                best_gated = parsed
-        except subprocess.TimeoutExpired:
-            last_err = f"variant {name} timed out"
-            note("variant %s timed out after %.0fs" % (name, budget))
+        print(json.dumps(headline), flush=True)
+        return
     if best_gated is not None:
         # below the honesty gate: report it, but flag it loudly
         best_gated["metric"] = ("[BELOW %.0f%% CONVERGENCE GATE] "

@@ -379,7 +379,7 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
         # true working set is tiny, so raise the cap
         cparams = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
-        if L_BLK == LANES:
+        if L_BLK % LANES == 0:
             zt = jnp.moveaxis(z0s.astype(jnp.float32), 0, -1)   # (nz,Bp)
             tht = jnp.moveaxis(thetas.astype(jnp.float32), 0, -1)
             z_out, stats = pl.pallas_call(
