@@ -52,7 +52,7 @@ import time
 if "scoped_vmem" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
     os.environ["LIBTPU_INIT_ARGS"] = (
         os.environ.get("LIBTPU_INIT_ARGS", "")
-        + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
+        + " --xla_tpu_scoped_vmem_limit_kib=131072").strip()
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 TARGET_PER_CHIP = 1000.0 / 16.0          # north-star solves/s per chip
@@ -419,9 +419,16 @@ def variant_rocket(B: int = 32):
                                  dtype))
     x0s = jnp.tile(x1.astype(dtype), (B, 1)) + delta
     stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
+    # per-AL-round inner budgets (cartpole champion schedule; the CPU
+    # validation run burned 481 mean inner iterations without it —
+    # early AL rounds over-polish, same mechanism as the flagship)
+    sched_env = os.environ.get("ODX_BENCH_ALSCHED", "15,15,25,25,30")
+    sched = (None if sched_env in ("", "none")
+             else [int(s) for s in sched_env.split(",")])
     log = ((lambda s: print("# " + s, flush=True))
            if os.environ.get("ODX_BENCH_LOG", "0") == "1" else None)
     run = make_segmented_solver(prob, opts, B, dtype=dtype,
+                                max_iter_schedule=sched,
                                 al_stall_rounds=stall, log=log)
     res = run(x0s, us0.astype(dtype))
     jax.block_until_ready(res.xs)
@@ -472,9 +479,16 @@ def variant_hopper(B: int = 32):
     x0s = (jnp.tile(x0.astype(dtype), (B, 1))
            + 0.005 * jax.random.normal(key, (B, x0.shape[0]), dtype))
     stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
+    # per-AL-round inner budgets (cartpole champion schedule; the CPU
+    # validation run burned 481 mean inner iterations without it —
+    # early AL rounds over-polish, same mechanism as the flagship)
+    sched_env = os.environ.get("ODX_BENCH_ALSCHED", "15,15,25,25,30")
+    sched = (None if sched_env in ("", "none")
+             else [int(s) for s in sched_env.split(",")])
     log = ((lambda s: print("# " + s, flush=True))
            if os.environ.get("ODX_BENCH_LOG", "0") == "1" else None)
     run = make_segmented_solver(prob, opts, B, dtype=dtype,
+                                max_iter_schedule=sched,
                                 al_stall_rounds=stall, log=log)
     res = run(x0s, us0.astype(dtype))
     jax.block_until_ready(res.xs)

@@ -376,9 +376,16 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
         ]
         # the unrolled QR + jacfwd chain peaks slightly above the
         # 16 MB default scoped-vmem budget at nz ~ 10; the kernel's
-        # true working set is tiny, so raise the cap
+        # true working set is tiny, so raise the cap. The cap value is
+        # PERFORMANCE-load-bearing, not just compile-or-nothing: at
+        # lanes=256 the identical kernel ran 148 ms under a 64 MB
+        # backend cap vs 31 ms under 128 MB (logs/lanes_sweep_r5.log vs
+        # logs/kernel_diag_r5.log) — headroom changes the allocator's
+        # spill strategy. The backend-side cap must be raised too
+        # (LIBTPU_INIT_ARGS --xla_tpu_scoped_vmem_limit_kib, bench.py).
         cparams = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024)
+            vmem_limit_bytes=(128 - 8) * 1024 * 1024
+            if L_BLK >= 512 else 64 * 1024 * 1024)
         if L_BLK % LANES == 0:
             zt = jnp.moveaxis(z0s.astype(jnp.float32), 0, -1)   # (nz,Bp)
             tht = jnp.moveaxis(thetas.astype(jnp.float32), 0, -1)

@@ -16,7 +16,7 @@ import time
 if "scoped_vmem" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
     os.environ["LIBTPU_INIT_ARGS"] = (
         os.environ.get("LIBTPU_INIT_ARGS", "")
-        + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
+        + " --xla_tpu_scoped_vmem_limit_kib=131072").strip()
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
