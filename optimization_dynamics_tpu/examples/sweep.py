@@ -24,7 +24,7 @@ import time
 if "scoped_vmem" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
     os.environ["LIBTPU_INIT_ARGS"] = (
         os.environ.get("LIBTPU_INIT_ARGS", "")
-        + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
+        + " --xla_tpu_scoped_vmem_limit_kib=131072").strip()
 
 import jax
 import jax.numpy as jnp
