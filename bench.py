@@ -99,8 +99,20 @@ def _build(on_tpu: bool, dtype, fused: bool = True):
     from optimization_dynamics_tpu.examples import cartpole as ex
 
     froll = os.environ.get("ODX_BENCH_FROLL", "0") == "1"
+    # central-path schedule A/B knobs (round 5): each rollout step's IP
+    # solve walks the kappa continuation from scratch (~15-20 Newton
+    # iterations at the defaults); ODX_BENCH_KSCALE / ODX_BENCH_KINITMAX
+    # / ODX_BENCH_CFRAC override the schedule
+    ipo = {}
+    if os.environ.get("ODX_BENCH_KSCALE"):
+        ipo["kappa_scale"] = float(os.environ["ODX_BENCH_KSCALE"])
+    if os.environ.get("ODX_BENCH_KINITMAX"):
+        ipo["kappa_init_max"] = float(os.environ["ODX_BENCH_KINITMAX"])
+    if os.environ.get("ODX_BENCH_CFRAC"):
+        ipo["center_frac"] = float(os.environ["ODX_BENCH_CFRAC"])
     return ex.build_deploy_problem(on_tpu, dtype=dtype, fused=fused,
-                                   fused_rollout=froll)
+                                   fused_rollout=froll,
+                                   ip_overrides=ipo or None)
 
 
 def _x0s(jax, jnp, x0, B, dtype):

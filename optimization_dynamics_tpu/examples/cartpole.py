@@ -84,7 +84,8 @@ def build_problem(mode: str = "friction", friction=(0.35, 0.35),
 
 def build_deploy_problem(on_tpu: bool, dtype=None, fused: bool = True,
                          friction=(0.35, 0.35),
-                         fused_rollout: bool = False):
+                         fused_rollout: bool = False,
+                         ip_overrides: dict | None = None):
     """The DEPLOY-tier problem: the configuration bench.py measures,
     reachable from the user-facing API (VERDICT r3 #7).
 
@@ -113,6 +114,12 @@ def build_deploy_problem(on_tpu: bool, dtype=None, fused: bool = True,
     else:
         ip = dict(r_tol=1.0e-8, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
         fused = False
+    if ip_overrides:
+        # central-path schedule knobs (kappa_scale / kappa_init_max /
+        # center_frac ...): rollout IP solves re-walk the kappa
+        # continuation from scratch each step, so the schedule sets the
+        # per-step Newton-iteration count — A/B-gated in bench.py
+        ip.update(ip_overrides)
     dyn = make_implicit_dynamics(
         model,
         eval_opts=IPOptions(**ip),

@@ -131,7 +131,7 @@ def unpack_consts(const_refs, consts_in):
 
 
 def make_ip_body(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
-                 early_exit: bool = True) -> Callable:
+                 early_exit: bool = True, _ablate: str = "") -> Callable:
     """Build the pure batch-last IP-solve body used inside Pallas kernels.
 
     Returns ``body(z0 (nz, L), theta (nth, L)) -> (z, stats (4, L))`` —
@@ -149,6 +149,10 @@ def make_ip_body(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
 
     # batch-last model functions (vmapped at trace time, inside the kernel)
     res_bl = jax.vmap(residual_fn, in_axes=(1, 1, None), out_axes=1)
+    if "nores" in _ablate:                  # ablation timing only
+        res_bl = lambda z, th, k: (z * 0.5
+                                   + 0.1 * jnp.sum(th, axis=0,
+                                                   keepdims=True))
     jac_bl = jax.vmap(jax.jacfwd(lambda z, th: residual_fn(z, th, 0.0)),
                       in_axes=(1, 1), out_axes=2)
 
@@ -212,16 +216,27 @@ def make_ip_body(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
             z, kappa, r0, it, stalled, reinit = carry
             active = (1.0 - conv_mask(r0)) * (1.0 - stalled)   # (1, L)
 
-            J = jac_bl(z, theta)               # (nz, nz, L)
+            if "nojac" in _ablate:             # ablation timing only
+                J = jnp.broadcast_to(
+                    jnp.eye(nz, dtype=z.dtype)[:, :, None],
+                    (nz, nz, L)) + z[:, None, :] * 0.0
+            else:
+                J = jac_bl(z, theta)               # (nz, nz, L)
             if opts.gamma_reg > 0.0:
                 J = J + (opts.gamma_reg * kappa)[None] \
                     * jnp.eye(nz, dtype=z.dtype)[:, :, None]
             r_k = r0 - kappa * head_m
             merit_cur = jnp.max(jnp.abs(r_k), axis=0, keepdims=True)
-            delta = _qr_solve_block(J, r_k[:, None, :])[:, 0, :]  # (nz, L)
+            if "noqr" in _ablate:              # ablation timing only
+                delta = r_k + jnp.sum(J, axis=1) * 1e-30
+            else:
+                delta = _qr_solve_block(J, r_k[:, None, :])[:, 0, :]
 
             tau = jnp.clip(1.0 - merit_cur, opts.tau_min, opts.tau_max)
-            alpha0 = jnp.minimum(boundary_alpha(z, delta) * tau, 1.0)
+            if "nobound" in _ablate:           # ablation timing only
+                alpha0 = tau
+            else:
+                alpha0 = jnp.minimum(boundary_alpha(z, delta) * tau, 1.0)
 
             # candidate sweep, first-improvement pick (branch-free masks)
             found = zero
@@ -229,7 +244,8 @@ def make_ip_body(residual_fn: Callable, spec: ConeSpec, opts: IPOptions,
             best_m = jnp.full((1, L), _BIG, z.dtype)
             min_a = alpha0
             min_m = jnp.full((1, L), _BIG, z.dtype)
-            for j in range(opts.max_ls):
+            n_ls = 0 if "nols" in _ablate else opts.max_ls
+            for j in range(n_ls):
                 a_j = alpha0 * (0.5 ** j)
                 m_j = merit_of(res_bl(z - a_j * delta, theta, 0.0), kappa)
                 better = (m_j < merit_cur).astype(z.dtype)
@@ -305,7 +321,8 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
                          opts: IPOptions,
                          interpret: bool = False,
                          early_exit: bool = True,
-                         lanes: int | None = None) -> Callable:
+                         lanes: int | None = None,
+                         _ablate: str = "") -> Callable:
     """Build ``solve(z0s (B, nz), thetas (B, ntheta)) -> IPSolution``.
 
     Drop-in for ``make_solver_batched`` (f32; geometric schedule). B is
@@ -323,7 +340,8 @@ def make_fused_ip_solver(residual_fn: Callable, spec: ConeSpec,
     spec.validate()
     nz, nth = spec.nz, spec.ntheta
     L_BLK = pick_lanes(nz, lanes)
-    _body = make_ip_body(residual_fn, spec, opts, early_exit=early_exit)
+    _body = make_ip_body(residual_fn, spec, opts, early_exit=early_exit,
+                         _ablate=_ablate)
 
     # ---- const lifting: trace once, thread constants as kernel inputs.
     # Traced with x64 disabled: the kernel pipeline is f32 by design, and

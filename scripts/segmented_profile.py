@@ -68,9 +68,13 @@ def main():
     x0s = bench._x0s(jax, jnp, x0, B, dtype)
 
     timers = PhaseTimer()
-    stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "2"))
+    stall = int(os.environ.get("ODX_BENCH_STALL_ROUNDS", "1"))
+    sched_env = os.environ.get("ODX_BENCH_ALSCHED", "15,15,25,25,30")
+    sched = (None if sched_env in ("", "none")
+             else [int(s) for s in sched_env.split(",")])
     solve = make_segmented_solver(prob, opts, B, dtype=dtype,
                                   iters_per_dispatch=k, timers=timers,
+                                  max_iter_schedule=sched,
                                   al_stall_rounds=stall)
     # first call: compile everything (cached to .jax_cache)
     res = solve(x0s, us0.astype(dtype))
