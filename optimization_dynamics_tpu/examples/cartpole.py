@@ -110,7 +110,15 @@ def build_deploy_problem(on_tpu: bool, dtype=None, fused: bool = True,
     model = cartpole.friction_model()
     aux = cartpole.CartpoleAux(h=H, friction=jnp.asarray(friction, dtype))
     if on_tpu:
-        ip = dict(r_tol=3.0e-5, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
+        # kappa-continuation schedule (round-5 on-chip A/B,
+        # logs/bench_r5_kscale*.log): every rollout step cold-walks the
+        # central path, so its stage count sets the per-step Newton
+        # budget. kappa_scale 0.01 (one stage to the 1e-3 park),
+        # init cap 0.3, center_frac 0.2: 1.103 -> 1.507 converged
+        # solves/s AND 120 -> 123/128 converged; the harsher
+        # init_max=0.1/center=0.3 arm regressed to 1.113 at 121/128.
+        ip = dict(r_tol=3.0e-5, kappa_tol=1.0e-3, max_iter=40, max_ls=8,
+                  kappa_scale=0.01, kappa_init_max=0.3, center_frac=0.2)
     else:
         ip = dict(r_tol=1.0e-8, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
         fused = False
