@@ -355,15 +355,19 @@ def variant_push(B: int = 64):
 def variant_acrobot(B: int = 64):
     """Third contact system on the chip: acrobot swing-up with hard
     elbow joint limits at the reference config (T=101, orthant
-    complementarity nz=6) through the deploy tier. Worker-only:
-    `python bench.py acrobot`; recorded in BASELINE.md."""
+    complementarity nz=6) through the deploy tier (fused nz=6 kernel —
+    round-5 Mosaic fix; ODX_BENCH_ACROBOT_FUSED=0 forces the XLA
+    phase path, the degrade-to-a-number fallback of VERDICT r4 #8).
+    Worker: `python bench.py acrobot`; recorded in BASELINE.md."""
     jax, on_tpu = _setup_jax()
     import jax.numpy as jnp
     from optimization_dynamics_tpu.examples import acrobot as exac
     from optimization_dynamics_tpu.solver.ilqr_segmented import (
         make_segmented_solver)
     dtype = jnp.float32 if on_tpu else jnp.float64
-    prob, x0, us0, opts = exac.build_deploy_problem(on_tpu, dtype=dtype)
+    fused = os.environ.get("ODX_BENCH_ACROBOT_FUSED", "1") == "1"
+    prob, x0, us0, opts = exac.build_deploy_problem(on_tpu, dtype=dtype,
+                                                    fused=fused)
     if not on_tpu:
         B = 4
     x0s = _x0s(jax, jnp, x0, B, dtype)
@@ -386,8 +390,9 @@ def variant_acrobot(B: int = 64):
     v = n_conv / dt
     out = {
         "metric": ("acrobot joint-limits CONVERGED full iLQR solves/s "
-                   "(1 chip, segmented+fused, batch %d, %d/%d "
-                   "converged)" % (B, n_conv, B)),
+                   "(1 chip, segmented+%s, batch %d, %d/%d "
+                   "converged)" % ("fused" if fused else "xla", B,
+                                   n_conv, B)),
         "value": round(v, 3), "unit": "converged solves/s",
         "vs_baseline": round(v / TARGET_PER_CHIP, 4),
         "converged_frac": round(n_conv / B, 4),
