@@ -219,12 +219,18 @@ def _run_segmented(fused: bool, B: int):
     return out
 
 
+# headline batch width (round-5 on-chip scaling at the champion kappa
+# schedule, logs/bench_r5_b*.log): host+dispatch is a fixed ~28% per
+# iteration, so wider batches amortize it — B=128: 1.507 solves/s,
+# B=256: 1.816, B=512: 2.134, all at ~95-96% converged. 512 keeps the
+# headline warmup+timed pair ~470 s, leaving deadline room for the
+# per-system tail lines.
 def variant_segmented_fused():
-    return _run_segmented(True, int(os.environ.get("ODX_BENCH_B", "128")))
+    return _run_segmented(True, int(os.environ.get("ODX_BENCH_B", "512")))
 
 
 def variant_segmented():
-    return _run_segmented(False, int(os.environ.get("ODX_BENCH_B", "128")))
+    return _run_segmented(False, int(os.environ.get("ODX_BENCH_B", "512")))
 
 
 def variant_batched(B: int = 64):

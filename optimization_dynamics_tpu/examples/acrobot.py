@@ -7,6 +7,8 @@ constraint x = [pi,0,pi,0], AL options con_tol=0.001.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -102,6 +104,11 @@ def build_deploy_problem(on_tpu: bool, dtype=None, fused: bool = True):
     aux = acrobot.AcrobotAux(h=H)
     if on_tpu:
         ip = dict(r_tol=3.0e-5, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
+        # one-stage kappa continuation (the cartpole round-5 champion;
+        # A/B-gated here too — see bench logs)
+        if os.environ.get("ODX_ACROBOT_KSCHED", "1") == "1":
+            ip.update(kappa_scale=0.01, kappa_init_max=0.3,
+                      center_frac=0.2)
     else:
         ip = dict(r_tol=1.0e-8, kappa_tol=1.0e-3, max_iter=40, max_ls=8)
         fused = False
