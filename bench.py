@@ -428,7 +428,7 @@ def variant_acrobot(B: int = 256):
     return out
 
 
-def variant_rocket(B: int = 32):  # rocket wall ~231 s at 32 — budget-bound
+def variant_rocket(B: int = 16):  # wall ~115 s; at B=32 the worker (2 solves + subprocess overhead) overran the tail budget on slow-tunnel runs
     """Rocket soft landing at the reference config (T=61, h=0.05,
     /root/reference/examples/rocket.jl) through the segmented executor:
     two chained IP solves per step (cold SOC thrust projection +
