@@ -58,11 +58,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 TARGET_PER_CHIP = 1000.0 / 16.0          # north-star solves/s per chip
 # IP solves per converged full solve, MEASURED by the segmented
 # executor's dispatch counters at the deploy config (round 4:
-# (sweep_lanes + roll_lanes) * (T-1) / converged = ~70.5k,
+# (sweep_lanes + roll_lanes) * (T-1) / converged = ~68.9k (round 5),
 # logs/bench_r4_alsched_run1.log; the round-1 hand estimate was 37k
 # for a sequential-shape solve). Only used to convert the steps/s
 # fallback variant into solve-equivalents for vs_baseline.
-STEPS_PER_SOLVE = 70490.0
+STEPS_PER_SOLVE = 68870.0
 CONV_GATE = 0.9                          # headline needs >= 90% converged
 
 
